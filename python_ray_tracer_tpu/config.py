@@ -1,0 +1,116 @@
+"""Render configuration.
+
+The reference has no config system in the live path (SURVEY §5.6): scenes are
+Python literals (``/root/reference/main.py:13-51``) and the only knobs are the
+hardcoded gains.  Here every rendering decision that fixes trace-time shapes
+or control flow is a static, hashable dataclass so it can be a ``jit``
+static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+# Sentinel distance for "ray missed" (reference FARAWAY = 1e39,
+# base.py:12 / shader.py:10).  1e39 only fits in float64; for float32 /
+# bfloat16 we use a large finite value so masked-lane arithmetic never
+# produces inf/nan.
+_FARAWAY = {
+    jnp.dtype(jnp.float64): 1.0e39,
+    jnp.dtype(jnp.float32): 1.0e30,
+    jnp.dtype(jnp.bfloat16): 1.0e30,
+}
+
+VISIBILITY_HARD = "hard"
+VISIBILITY_SMOOTH = "smooth"
+
+
+def faraway(dtype: Any) -> float:
+    return _FARAWAY[jnp.dtype(dtype)]
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering options (hashable — usable as a jit static arg).
+
+    Attributes:
+        max_depth: number of trace segments.  ``max_depth=1`` is primary rays
+            only; each extra level follows one mirror bounce.  The reference
+            recurses without bound (``shader.py:143-161`` → ``base.py:91``,
+            measured depth 56); reflection energy decays by
+            ``0.5 * specular_gain`` per bounce (``shader.py:106``) so a
+            finite depth reproduces the image to under half a uint8 quantum.
+        dtype: compute dtype.  float64 (CPU) bit-matches the reference;
+            float32 is the TPU default.
+        visibility: ``"hard"`` replicates the reference's step-function hit
+            and shadow tests exactly; ``"smooth"`` relaxes them with
+            sigmoids of sharpness ``edge_sharpness``/``shadow_sharpness`` so
+            silhouettes and shadows carry useful gradients.
+        use_pallas: route the intersection sweep through the fused Pallas
+            nearest-hit kernel (TPU) instead of the XLA composite.
+        block_rays: ray-tile size used by the Pallas kernel / sharding
+            padding. Multiples of 1024 keep tiles (8, 128)-aligned.
+    """
+
+    max_depth: int = 3
+    dtype: Any = jnp.float32
+    visibility: str = VISIBILITY_HARD
+    edge_sharpness: float = 200.0
+    shadow_sharpness: float = 200.0
+    use_pallas: bool = False
+    block_rays: int = 2048
+    intersect_mode: str = "auto"
+
+    def __post_init__(self) -> None:
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be >= 1")
+        if self.visibility not in (VISIBILITY_HARD, VISIBILITY_SMOOTH):
+            raise ValueError(f"unknown visibility mode: {self.visibility}")
+        if self.intersect_mode not in ("auto", "reference", "stable"):
+            raise ValueError(f"unknown intersect mode: {self.intersect_mode}")
+
+    @property
+    def stable_intersect(self) -> bool:
+        """Use the compensated-arithmetic sweep (float32 default).
+
+        ``auto``: float64 keeps the reference's exact coefficient form (bit
+        parity); narrower dtypes get the hardened form.
+        """
+        if self.intersect_mode == "auto":
+            return jnp.dtype(self.dtype) != jnp.dtype(jnp.float64)
+        return self.intersect_mode == "stable"
+
+    @property
+    def faraway(self) -> float:
+        return faraway(self.dtype)
+
+    def __hash__(self) -> int:  # jnp dtypes aren't hashable as class objects on all versions
+        return hash(
+            (
+                self.max_depth,
+                str(jnp.dtype(self.dtype)),
+                self.visibility,
+                self.edge_sharpness,
+                self.shadow_sharpness,
+                self.use_pallas,
+                self.block_rays,
+                self.intersect_mode,
+            )
+        )
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, RenderConfig):
+            return NotImplemented
+        return (
+            self.max_depth == other.max_depth
+            and jnp.dtype(self.dtype) == jnp.dtype(other.dtype)
+            and self.visibility == other.visibility
+            and self.edge_sharpness == other.edge_sharpness
+            and self.shadow_sharpness == other.shadow_sharpness
+            and self.use_pallas == other.use_pallas
+            and self.block_rays == other.block_rays
+            and self.intersect_mode == other.intersect_mode
+        )

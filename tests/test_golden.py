@@ -1,0 +1,83 @@
+"""Golden-image parity with the reference renderer.
+
+BASELINE.json configs 1 and 2: the README 3-sphere scene forward-rendered
+in hard-visibility mode must reproduce the reference bit-for-bit after uint8
+quantization (float64), and to float32 tolerance on narrower dtypes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.models.scenes import reference_scene
+from python_ray_tracer_tpu.utils.image import to_uint8
+
+from .oracle import build_reference_scene, reference_render
+
+
+def test_small_render_matches_live_reference_f64(reference_modules):
+    """240x135 cross-check against the *live* upstream code (unbounded
+    recursion): depth 8 leaves residual reflection energy below 1e-6,
+    far under the uint8 quantum."""
+    w, h = 240, 135
+    scene = reference_scene(w, h, dtype=jnp.float64)
+    cfg = RenderConfig(max_depth=8, dtype=jnp.float64)
+    ours = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+
+    ref_scene = build_reference_scene(reference_modules, w, h)
+    ref = reference_render(reference_modules, ref_scene)
+
+    np.testing.assert_array_equal(to_uint8(ours), to_uint8(ref))
+    assert np.abs(ours - ref).max() < 1e-6
+
+
+def test_depth1_runs_and_is_finite():
+    """BASELINE config 1: 480x270, depth 1, forward-only."""
+    scene = reference_scene(480, 270, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=1, dtype=jnp.float32)
+    img = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+    assert img.shape == (270, 480, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.1
+
+
+def test_full_golden_image_bit_exact_f64(reference_render_png):
+    """960x540 render must equal the checked-in reference render.png exactly
+    after quantization (ref writer semantics, base.py:143-151)."""
+    scene = reference_scene(960, 540, dtype=jnp.float64)
+    cfg = RenderConfig(max_depth=6, dtype=jnp.float64)
+    ours = to_uint8(np.asarray(jax.jit(render, static_argnums=1)(scene, cfg)))
+    np.testing.assert_array_equal(ours, reference_render_png)
+
+
+def test_full_golden_image_f32_close(reference_render_png):
+    """float32 (TPU production dtype) with the hardened intersection path:
+    identical to the golden image except for a handful of edge pixels."""
+    scene = reference_scene(960, 540, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=6, dtype=jnp.float32)
+    ours = to_uint8(np.asarray(jax.jit(render, static_argnums=1)(scene, cfg)))
+    diff = np.abs(ours.astype(int) - reference_render_png.astype(int))
+    frac_diff = (diff > 1).mean()
+    assert frac_diff < 1e-4, f"{(diff > 1).sum()} values differ by >1"
+
+
+def test_no_ties_in_golden_scene(reference_modules):
+    """Our argmin nearest-hit diverges from the reference's sum-over-ties
+    only on exact distance ties (base.py:103); assert the golden scene's
+    primary rays have none."""
+    from python_ray_tracer_tpu.camera import ray_directions
+    from python_ray_tracer_tpu.config import faraway
+    from python_ray_tracer_tpu.ops.intersect import intersect_all
+
+    scene = reference_scene(480, 270, dtype=jnp.float64)
+    dirs = ray_directions(scene.camera, jnp.float64)
+    t = np.asarray(
+        intersect_all(
+            scene.camera.position, dirs, scene.spheres.center, scene.spheres.radius, faraway(jnp.float64)
+        ).t
+    )
+    hit = t.min(axis=1) < faraway(jnp.float64)
+    n_at_min = (t == t.min(axis=1, keepdims=True)).sum(axis=1)
+    assert (n_at_min[hit] == 1).all()
