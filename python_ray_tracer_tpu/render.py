@@ -22,6 +22,15 @@ Visibility modes:
 * ``smooth`` relaxes hit coverage and shadow occlusion with sigmoids so
   silhouette and shadow edges carry gradients (the differentiable-rendering
   upgrade BASELINE.json config 3 mandates; the reference is forward-only).
+
+Multi-chip: every reduction over the sphere axis goes through a small set of
+helpers that take an optional ``sphere_axis`` mesh-axis name.  When set (by
+:mod:`.parallel.sharded`, inside ``shard_map``), each chip sweeps only its
+shard of the sphere table and the nearest-hit / shadow / coverage reductions
+finish with ``lax.pmin``/``psum`` collectives over ICI — the ring-reduction
+structure SURVEY §5.7 calls for.  With ``sphere_axis=None`` the same code
+paths reduce locally, so the single-chip and sharded renderers share one
+bounce loop.
 """
 
 from __future__ import annotations
@@ -33,20 +42,32 @@ import jax.numpy as jnp
 
 from .camera import ray_directions
 from .config import RenderConfig, VISIBILITY_SMOOTH
-from .ops.intersect import intersect_all, intersect_all_stable, nearest_hit
+from .ops.intersect import IntersectResult, NearestHit, intersect_all, intersect_all_stable
 from .ops.shading import NUDGE, LaneMaterial, gather_material, shade
 from .ops.vecmath import normalize, reflect
 from .scene import Scene
 
-
-def _sweep(origin: jax.Array, direction: jax.Array, scene: Scene, cfg: RenderConfig):
+def _sweep(
+    origin: jax.Array,
+    direction: jax.Array,
+    center: jax.Array,
+    radius: jax.Array,
+    cfg: RenderConfig,
+) -> IntersectResult:
     """All-spheres intersection sweep, Pallas or XLA."""
     if cfg.use_pallas:
         from .ops.pallas_intersect import intersect_all_pallas
 
-        return intersect_all_pallas(origin, direction, scene.spheres.center, scene.spheres.radius, cfg.faraway)
-    sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
-    return sweep(origin, direction, scene.spheres.center, scene.spheres.radius, cfg.faraway)
+        res = intersect_all_pallas(origin, direction, center, radius, cfg.faraway)
+    else:
+        sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
+        res = sweep(origin, direction, center, radius, cfg.faraway)
+    # Pin ONE canonical computation of the sweep: downstream decision logic
+    # (nearest-hit equality, shadow t_self vs min-others) reads the table
+    # several times, and without the barrier XLA may duplicate the sweep into
+    # differently-fused — differently-rounded — subgraphs, flipping hit and
+    # shadow decisions between consumers.
+    return IntersectResult(*jax.lax.optimization_barrier(tuple(res)))
 
 
 def _soft_cover(sol: jax.Array, disc: jax.Array, sharpness: float) -> jax.Array:
@@ -58,30 +79,182 @@ def _soft_cover(sol: jax.Array, disc: jax.Array, sharpness: float) -> jax.Array:
     return jax.nn.sigmoid(sharpness * disc) * jax.nn.sigmoid(sharpness * sol)
 
 
-def _shadow_visibility(
-    point: jax.Array,  # (N, 3) nudged origin
-    to_light: jax.Array,  # (N, 3) unit dir
-    idx: jax.Array,  # (N,) nearest sphere per lane
-    scene: Scene,
-    cfg: RenderConfig,
-) -> jax.Array:
-    """Shadow test, ref ``shader.py:114-128``.
+# ---------------------------------------------------------------------------
+# Sphere-axis reductions (local, or collective when sphere_axis is a mesh
+# axis name inside shard_map).
+#
+# AD discipline for the collective branch: pmin/pmax have no differentiation
+# rule in JAX, so every *selector* (argmin winner, owner shard) is computed
+# on stop_gradient'd values — constants need no JVP rule — while the
+# *values* the selector picks flow through differentiable collectives
+# (psum / all_gather, whose transposes XLA overlaps with backward compute).
+# ---------------------------------------------------------------------------
 
-    Hard: lit iff the lane's own sphere is the nearest hit along the shadow
-    ray (the self-hit sits at FARAWAY when the path is clear, so equality
-    holds on a clear path).  Smooth: product over *other* spheres of
-    (1 - soft occlusion).
+
+def _invariant(x: jax.Array, sphere_axis: str | None) -> jax.Array:
+    """Make a value already identical on every shard VMA-invariant.
+
+    ``psum`` of (shard-0 copy, zeros elsewhere): bitwise exact (a sum with
+    zeros), differentiable (psum transposes), and marks the result reduced
+    over the axis for the VMA checker.
     """
-    res = _sweep(point, to_light, scene, cfg)
-    n = point.shape[0]
-    if cfg.visibility == VISIBILITY_SMOOTH:
-        occl = _soft_cover(res.sol, res.disc, cfg.shadow_sharpness)  # (N, S)
-        not_self = jnp.arange(res.t.shape[1], dtype=jnp.int32)[None, :] != idx[:, None]
-        clear = jnp.prod(jnp.where(not_self, 1.0 - occl, jnp.ones_like(occl)), axis=1)
-        return clear.astype(point.dtype)
-    tmin = jnp.min(res.t, axis=1)
-    t_self = res.t[jnp.arange(n), idx]
-    return (t_self == tmin).astype(point.dtype)
+    if sphere_axis is None:
+        return x
+    k = jax.lax.axis_index(sphere_axis)
+    return jax.lax.psum(jnp.where(k == 0, x, jnp.zeros_like(x)), sphere_axis)
+
+
+def _combine_nearest(
+    t_table: jax.Array,  # (N, S_local)
+    faraway: float,
+    sphere_axis: str | None,
+    sphere_offset: jax.Array | int,
+) -> NearestHit:
+    """Nearest-hit reduction over (possibly sharded) sphere axis.
+
+    The reference reduces with sequential ``np.minimum`` (``base.py:97-98``)
+    then re-derives the winner by equality (``base.py:103``); an exact tie
+    between two spheres is shaded twice and summed there.  We take the
+    argmin (lowest global index wins) instead — identical except on
+    measure-zero ties, which :mod:`tests.test_golden` verifies do not occur
+    in the golden scene.
+    """
+    if sphere_axis is None:
+        tmin = jnp.min(t_table, axis=1)
+        idx = jnp.argmin(t_table, axis=1).astype(jnp.int32) + sphere_offset
+        hit = tmin != jnp.asarray(faraway, dtype=t_table.dtype)
+        return NearestHit(t=tmin, idx=idx, hit=hit)
+
+    # Selector path (no gradients): find the winning global index.  pmin
+    # selects (bitwise) one of the shard minima, so the owner shard
+    # recognises itself by exact equality — valid only if its tmin_l is
+    # computed ONCE.  The barrier stops XLA from duplicating tmin_l into
+    # differently-fused (differently-rounded) subgraphs for the two uses.
+    t_sg = jax.lax.stop_gradient(t_table)
+    tmin_l = jax.lax.optimization_barrier(jnp.min(t_sg, axis=1))
+    idx_l = jnp.argmin(t_sg, axis=1).astype(jnp.int32) + sphere_offset
+    tmin_sel = jax.lax.pmin(tmin_l, sphere_axis)
+    cand = jnp.where(tmin_l == tmin_sel, idx_l, jnp.iinfo(jnp.int32).max)
+    idx = jax.lax.pmin(cand, sphere_axis)
+
+    # Value path (differentiable): re-gather the winner's t from the live
+    # table; only the owner contributes, psum'd to every shard.  Bitwise
+    # equal to the owner's value (a sum with zeros) and its gradient flows
+    # to exactly the winning sphere — the same subgradient jnp.min takes.
+    t_val, _ = _self_lookup(t_table, idx, sphere_offset, 0.0)
+    tmin = jax.lax.psum(t_val, sphere_axis)
+    hit = tmin != jnp.asarray(faraway, dtype=t_table.dtype)
+    return NearestHit(t=tmin, idx=idx, hit=hit)
+
+
+def _self_lookup(
+    table: jax.Array,  # (N, S_local) per-sphere values
+    idx: jax.Array,  # (N,) global sphere index
+    sphere_offset: jax.Array | int,
+    fill: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Each lane's value for its *own* sphere; ``fill`` where not owned.
+
+    Returns ``(value, owns)`` — in sharded mode only the owning chip holds
+    the real value, others hold ``fill`` (combined by the caller with
+    pmin/psum as appropriate).
+    """
+    n, s_local = table.shape
+    li = idx - sphere_offset
+    owns = (li >= 0) & (li < s_local)
+    safe = jnp.clip(li, 0, s_local - 1)
+    val = jnp.where(owns, table[jnp.arange(n), safe], jnp.asarray(fill, table.dtype))
+    return val, owns
+
+
+def _shadow_hard(
+    res: IntersectResult,
+    idx: jax.Array,
+    sphere_axis: str | None,
+    sphere_offset: jax.Array | int,
+    dtype: Any,
+) -> jax.Array:
+    """Hard shadow test, ref ``shader.py:114-128``.
+
+    The reference computes "lit iff the lane's own sphere is the nearest hit
+    along the shadow ray" as ``t_self == reduce(min, all)`` (the self-hit
+    sits at FARAWAY when the path is clear, so equality holds on a clear
+    path).  We evaluate the equivalent ``t_self <= min(others)`` instead:
+    identical on every input, but not a bitwise float equality — robust to
+    XLA recomputing the two sides in differently-fused subgraphs.
+    """
+    s_local = res.t.shape[1]
+    gidx = jnp.arange(s_local, dtype=jnp.int32)[None, :] + sphere_offset
+    is_self = gidx == idx[:, None]
+    t_others = jnp.where(is_self, jnp.asarray(jnp.inf, res.t.dtype), res.t)
+    tmin_others = jnp.min(t_others, axis=1)
+    t_self, _ = _self_lookup(res.t, idx, sphere_offset, jnp.inf)
+    if sphere_axis is not None:
+        # Visibility is a step function — no useful gradient — so the
+        # non-differentiable pmin runs on stop_gradient'd values.
+        tmin_others = jax.lax.pmin(jax.lax.stop_gradient(tmin_others), sphere_axis)
+        t_self = jax.lax.pmin(jax.lax.stop_gradient(t_self), sphere_axis)
+    return (t_self <= tmin_others).astype(dtype)
+
+
+def _shadow_smooth(
+    res: IntersectResult,
+    idx: jax.Array,
+    cfg: RenderConfig,
+    sphere_axis: str | None,
+    sphere_offset: jax.Array | int,
+    dtype: Any,
+) -> jax.Array:
+    """Smooth shadow: product over *other* spheres of (1 - soft occlusion)."""
+    occl = _soft_cover(res.sol, res.disc, cfg.shadow_sharpness)  # (N, S_local)
+    gidx = jnp.arange(res.t.shape[1], dtype=jnp.int32)[None, :] + sphere_offset
+    not_self = gidx != idx[:, None]
+    clear = jnp.prod(jnp.where(not_self, 1.0 - occl, jnp.ones_like(occl)), axis=1)
+    if sphere_axis is not None:
+        # all_gather + prod is differentiable; the result is identical on
+        # every shard, so _invariant re-establishes axis invariance exactly.
+        clear = jnp.prod(jax.lax.all_gather(clear, sphere_axis), axis=0)
+        clear = _invariant(clear, sphere_axis)
+    return clear.astype(dtype)
+
+
+def _smooth_winner_idx(
+    res: IntersectResult,
+    near: NearestHit,
+    sphere_axis: str | None,
+    sphere_offset: jax.Array | int,
+) -> jax.Array:
+    """Winning sphere per lane for smooth coverage.
+
+    Hit lanes keep the nearest sphere; miss lanes attribute coverage (and
+    its gradient) to the sphere whose discriminant came closest to zero.
+    """
+    disc_sg = jax.lax.stop_gradient(res.disc)  # selector only — no gradient
+    dmax_l = jnp.max(disc_sg, axis=1)
+    fidx_l = jnp.argmax(disc_sg, axis=1).astype(jnp.int32) + sphere_offset
+    if sphere_axis is None:
+        fidx = fidx_l
+    else:
+        dmax_l = jax.lax.optimization_barrier(dmax_l)  # see _combine_nearest
+        dmax = jax.lax.pmax(dmax_l, sphere_axis)
+        cand = jnp.where(dmax_l == dmax, fidx_l, jnp.iinfo(jnp.int32).max)
+        fidx = jax.lax.pmin(cand, sphere_axis)
+    return jnp.where(near.hit, near.idx, fidx)
+
+
+def _coverage_at(
+    res: IntersectResult,
+    idx: jax.Array,
+    sharpness: float,
+    sphere_axis: str | None,
+    sphere_offset: jax.Array | int,
+) -> jax.Array:
+    """Soft coverage of each lane's winning sphere."""
+    cover_all = _soft_cover(res.sol, res.disc, sharpness)
+    cover, _ = _self_lookup(cover_all, idx, sphere_offset, 0.0)
+    if sphere_axis is not None:
+        cover = jax.lax.psum(cover, sphere_axis)
+    return cover
 
 
 def trace(
@@ -89,11 +262,22 @@ def trace(
     direction: jax.Array,  # (N, 3) unit
     scene: Scene,
     cfg: RenderConfig,
+    *,
+    sweep_center: jax.Array | None = None,  # (S_local, 3) geometry shard
+    sweep_radius: jax.Array | None = None,  # (S_local,)
+    sphere_axis: str | None = None,  # mesh axis the sweep is sharded over
+    sphere_offset: jax.Array | int = 0,  # global index of sweep row 0
+    ray_axis: str | None = None,  # mesh axis the ray lanes are sharded over
 ) -> jax.Array:
     """Trace N rays to ``cfg.max_depth`` bounces; returns (N, 3) color.
 
     Misses contribute black (ref ``base.py:100``: color starts at (0,0,0)
     and only hit lanes are placed back).
+
+    ``sweep_center``/``sweep_radius`` default to the scene's full sphere
+    table; :mod:`.parallel.sharded` passes a per-chip shard plus the mesh
+    axis name so the reductions above finish with collectives.  Material
+    gather always reads the (replicated, tiny) full table.
     """
     dtype = cfg.dtype
     direction = jnp.asarray(direction, dtype)
@@ -101,20 +285,21 @@ def trace(
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), direction.shape)
     cam_pos = jnp.asarray(scene.camera.position, dtype)
     light_pos = jnp.asarray(scene.lights.point_position, dtype)
+    if sweep_center is None:
+        sweep_center = scene.spheres.center
+    if sweep_radius is None:
+        sweep_radius = scene.spheres.radius
+    smooth = cfg.visibility == VISIBILITY_SMOOTH
 
     def bounce(carry, _):
         o, d, throughput, alive, accum = carry
 
-        res = _sweep(o, d, scene, cfg)
-        near = nearest_hit(res.t, cfg.faraway)
+        res = _sweep(o, d, sweep_center, sweep_radius, cfg)
+        near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
-        smooth = cfg.visibility == VISIBILITY_SMOOTH
         if smooth:
-            # For lanes that miss everything, attribute coverage (and its
-            # gradient) to the sphere whose discriminant came closest.
-            idx = jnp.where(near.hit, near.idx, jnp.argmax(res.disc, axis=1).astype(jnp.int32))
-            cover_all = _soft_cover(res.sol, res.disc, cfg.edge_sharpness)
-            coverage = cover_all[jnp.arange(n), idx] * alive
+            idx = _smooth_winner_idx(res, near, sphere_axis, sphere_offset)
+            coverage = _coverage_at(res, idx, cfg.edge_sharpness, sphere_axis, sphere_offset) * alive
         else:
             idx = near.idx
             coverage = near.hit.astype(dtype) * alive
@@ -129,7 +314,11 @@ def trace(
         to_camera = normalize(cam_pos[None, :] - p)  # shader.py:76 — ORIGINAL camera, every bounce
         p_nudged = p + normal * NUDGE  # shader.py:77
 
-        in_light = _shadow_visibility(p_nudged, to_light, idx, scene, cfg)
+        shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg)
+        if smooth:
+            in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
+        else:
+            in_light = _shadow_hard(shadow_res, idx, sphere_axis, sphere_offset, dtype)
         local = shade(p, normal, to_light, to_camera, in_light, mat, scene)
 
         accum = accum + local.color * (throughput * coverage)[:, None]
@@ -147,6 +336,16 @@ def trace(
         jnp.ones((n,), dtype),
         jnp.zeros((n, 3), dtype),
     )
+    if ray_axis is not None:
+        # Inside shard_map the scan carry becomes varying over the ray axis
+        # on the first iteration; mark the init likewise so the carry types
+        # are invariant (required by the VMA checker).
+        def to_varying(x: jax.Array) -> jax.Array:
+            if ray_axis in getattr(jax.typeof(x), "vma", frozenset()):
+                return x
+            return jax.lax.pcast(x, (ray_axis,), to="varying")
+
+        init = jax.tree_util.tree_map(to_varying, init)
     (_, _, _, _, accum), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
     return accum
 
