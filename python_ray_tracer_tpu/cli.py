@@ -1,0 +1,178 @@
+"""Command-line interface: ``render``, ``bench``, ``optimize``.
+
+The reference's entire UX is ``python main.py`` with a hardcoded scene
+(``/root/reference/main.py:1-57`` — no CLI, no flags).  This CLI is the
+config surface SURVEY §5.6 specifies: JSON scene files (the resurrected
+old schema), render settings, metrics JSONL, profiler capture, and
+checkpointed optimization runs.
+
+    python -m python_ray_tracer_tpu.cli render --scene scene.json -o out.png
+    python -m python_ray_tracer_tpu.cli render --builtin reference -o out.png
+    python -m python_ray_tracer_tpu.cli bench --width 960 --height 540
+    python -m python_ray_tracer_tpu.cli optimize --target ref.png --steps 200
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _add_render_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--scene", type=str, help="JSON scene file")
+    p.add_argument("--builtin", type=str, choices=["reference", "random1024", "inverse64"], help="built-in scene")
+    p.add_argument("--settings", type=str, help="JSON render-settings file")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--depth", type=int, default=3, help="max reflection depth")
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "float64", "bfloat16"])
+    p.add_argument("--visibility", type=str, default="hard", choices=["hard", "smooth"])
+    p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernels")
+    p.add_argument("--metrics", type=str, help="JSONL metrics output path")
+    p.add_argument("--profile", type=str, help="jax.profiler trace logdir")
+
+
+def _build(args) -> tuple:
+    from .config import RenderConfig
+    from .models import scenes as builtin
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[args.dtype]
+    if args.settings:
+        from .io import load_settings
+
+        cfg, extras = load_settings(args.settings)
+        width, height = extras["width"], extras["height"]
+    else:
+        cfg = RenderConfig(
+            max_depth=args.depth, dtype=dtype, visibility=args.visibility, use_pallas=args.pallas
+        )
+        width, height = args.width, args.height
+
+    if args.scene:
+        from .io import load_scene
+
+        scene = load_scene(args.scene, width=width, height=height, dtype=cfg.dtype)
+    else:
+        name = args.builtin or "reference"
+        if name == "reference":
+            scene = builtin.reference_scene(width, height, dtype=cfg.dtype)
+        elif name == "random1024":
+            scene = builtin.random_spheres_scene(width=width, height=height, dtype=cfg.dtype)
+        else:
+            scene = builtin.inverse_task_scene(width=width, height=height, dtype=cfg.dtype)
+    return scene, cfg
+
+
+def cmd_render(args) -> int:
+    from .render import render
+    from .utils.image import save_png
+    from .utils.metrics import MetricsLogger, profile_trace, rays_per_second
+
+    scene, cfg = _build(args)
+    metrics = MetricsLogger(args.metrics)
+    fn = jax.jit(render, static_argnums=1)
+
+    t0 = time.perf_counter()
+    img = jax.block_until_ready(fn(scene, cfg))
+    compile_s = time.perf_counter() - t0
+    with profile_trace(args.profile):
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(fn(scene, cfg))
+        render_s = time.perf_counter() - t0
+
+    out = args.output or "render_out.png"
+    save_png(np.asarray(img), out)
+    n = scene.camera.width * scene.camera.height
+    rec = metrics.log(
+        "render",
+        compile_s=round(compile_s, 4),
+        render_s=round(render_s, 6),
+        **{k: round(v, 1) for k, v in rays_per_second(n, cfg.max_depth, render_s).items()},
+        output=str(out),
+    )
+    print(json.dumps(rec))  # noqa: T201
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py is the canonical bench
+
+    bench_mod.main()
+    return 0
+
+
+def cmd_optimize(args) -> int:
+    from .optim import make_loss_fn, scene_to_params
+    from .optim.train import init_state, make_train_step
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.image import load_png
+    from .utils.metrics import MetricsLogger
+
+    import optax
+
+    scene, cfg = _build(args)
+    target = jnp.asarray(np.asarray(load_png(args.target), np.float32) / 255.0, cfg.dtype)
+    if target.shape[:2] != (scene.camera.height, scene.camera.width):
+        print(  # noqa: T201
+            f"error: target is {target.shape[1]}x{target.shape[0]}, "
+            f"scene renders {scene.camera.width}x{scene.camera.height}",
+            file=sys.stderr,
+        )
+        return 2
+
+    params = scene_to_params(scene)
+    optimizer = optax.adam(args.lr)
+    state = init_state(params, optimizer)
+    if args.checkpoint and Path(args.checkpoint).exists():
+        state = load_checkpoint(args.checkpoint, state)
+        print(f"resumed from {args.checkpoint} at step {int(state.step)}", file=sys.stderr)  # noqa: T201
+
+    step_fn = make_train_step(make_loss_fn(scene, target, cfg), optimizer)
+    metrics = MetricsLogger(args.metrics)
+    start = int(state.step)
+    for i in range(start, args.steps):
+        t0 = time.perf_counter()
+        state, loss = step_fn(state)
+        metrics.log("step", step=i, loss=float(loss), step_s=round(time.perf_counter() - t0, 6))
+        if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+            save_checkpoint(args.checkpoint, state)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state)
+    print(json.dumps({"final_loss": float(loss), "steps": args.steps}))  # noqa: T201
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="python_ray_tracer_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_opts(p)
+    p.add_argument("-o", "--output", type=str, help="output PNG path")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("optimize", help="inverse rendering against a target image")
+    _add_render_opts(p)
+    p.add_argument("--target", type=str, required=True, help="target PNG")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--checkpoint", type=str, help="checkpoint path (resume if exists)")
+    p.add_argument("--checkpoint-every", type=int, default=25)
+    p.set_defaults(fn=cmd_optimize)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

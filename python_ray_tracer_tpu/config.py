@@ -49,10 +49,15 @@ class RenderConfig:
             and shadow tests exactly; ``"smooth"`` relaxes them with
             sigmoids of sharpness ``edge_sharpness``/``shadow_sharpness`` so
             silhouettes and shadows carry useful gradients.
-        use_pallas: route the intersection sweep through the fused Pallas
-            nearest-hit kernel (TPU) instead of the XLA composite.
-        block_rays: ray-tile size used by the Pallas kernel / sharding
+        use_pallas: route hard-visibility sweeps through the fused Pallas
+            nearest-hit / shadow kernels (O(N+S) HBM traffic) instead of
+            the XLA composite.  Smooth visibility needs the full per-sphere
+            tables and stays on the XLA path.
+        block_rays: ray-tile size used by the Pallas kernels / sharding
             padding. Multiples of 1024 keep tiles (8, 128)-aligned.
+        block_spheres: sphere-block size the Pallas kernels loop over in
+            VMEM (clamped to the padded sphere count).
+        pallas_interpret: run Pallas kernels in interpreter mode (CPU CI).
     """
 
     max_depth: int = 3
@@ -62,6 +67,8 @@ class RenderConfig:
     shadow_sharpness: float = 200.0
     use_pallas: bool = False
     block_rays: int = 2048
+    block_spheres: int = 256
+    pallas_interpret: bool = False
     intersect_mode: str = "auto"
 
     def __post_init__(self) -> None:
@@ -97,6 +104,8 @@ class RenderConfig:
                 self.shadow_sharpness,
                 self.use_pallas,
                 self.block_rays,
+                self.block_spheres,
+                self.pallas_interpret,
                 self.intersect_mode,
             )
         )
@@ -112,5 +121,7 @@ class RenderConfig:
             and self.shadow_sharpness == other.shadow_sharpness
             and self.use_pallas == other.use_pallas
             and self.block_rays == other.block_rays
+            and self.block_spheres == other.block_spheres
+            and self.pallas_interpret == other.pallas_interpret
             and self.intersect_mode == other.intersect_mode
         )

@@ -55,13 +55,8 @@ def _sweep(
     cfg: RenderConfig,
 ) -> IntersectResult:
     """All-spheres intersection sweep, Pallas or XLA."""
-    if cfg.use_pallas:
-        from .ops.pallas_intersect import intersect_all_pallas
-
-        res = intersect_all_pallas(origin, direction, center, radius, cfg.faraway)
-    else:
-        sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
-        res = sweep(origin, direction, center, radius, cfg.faraway)
+    sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
+    res = sweep(origin, direction, center, radius, cfg.faraway)
     # Pin ONE canonical computation of the sweep: downstream decision logic
     # (nearest-hit equality, shadow t_self vs min-others) reads the table
     # several times, and without the barrier XLA may duplicate the sweep into
@@ -290,12 +285,31 @@ def trace(
     if sweep_radius is None:
         sweep_radius = scene.spheres.radius
     smooth = cfg.visibility == VISIBILITY_SMOOTH
+    # The fused Pallas kernels cover the hard-visibility single-shard sweep
+    # (smooth mode needs all-sphere tables; sphere sharding needs the
+    # collective combines).
+    fused = cfg.use_pallas and not smooth and sphere_axis is None
+    if fused:
+        from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas
 
     def bounce(carry, _):
         o, d, throughput, alive, accum = carry
 
-        res = _sweep(o, d, sweep_center, sweep_radius, cfg)
-        near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
+        if fused:
+            res = None
+            near = nearest_hit_pallas(
+                o,
+                d,
+                sweep_center,
+                sweep_radius,
+                cfg.faraway,
+                block_rays=cfg.block_rays,
+                block_spheres=cfg.block_spheres,
+                interpret=cfg.pallas_interpret,
+            )
+        else:
+            res = _sweep(o, d, sweep_center, sweep_radius, cfg)
+            near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
         if smooth:
             idx = _smooth_winner_idx(res, near, sphere_axis, sphere_offset)
@@ -314,11 +328,27 @@ def trace(
         to_camera = normalize(cam_pos[None, :] - p)  # shader.py:76 — ORIGINAL camera, every bounce
         p_nudged = p + normal * NUDGE  # shader.py:77
 
-        shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg)
-        if smooth:
-            in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
+        if fused:
+            # Visibility is a step function — constant under AD, exactly
+            # like the XLA hard path's comparison (zero tangent).
+            sg = jax.lax.stop_gradient
+            in_light = shadow_hard_pallas(
+                sg(p_nudged),
+                sg(to_light),
+                sg(sweep_center),
+                sg(sweep_radius),
+                idx,
+                cfg.faraway,
+                block_rays=cfg.block_rays,
+                block_spheres=cfg.block_spheres,
+                interpret=cfg.pallas_interpret,
+            )
         else:
-            in_light = _shadow_hard(shadow_res, idx, sphere_axis, sphere_offset, dtype)
+            shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg)
+            if smooth:
+                in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
+            else:
+                in_light = _shadow_hard(shadow_res, idx, sphere_axis, sphere_offset, dtype)
         local = shade(p, normal, to_light, to_camera, in_light, mat, scene)
 
         accum = accum + local.color * (throughput * coverage)[:, None]

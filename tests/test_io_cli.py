@@ -1,0 +1,171 @@
+"""Config surface: JSON scene loader, CLI, checkpoints, metrics."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.io import load_scene, load_settings
+from python_ray_tracer_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from python_ray_tracer_tpu.utils.image import load_png, save_png
+from python_ray_tracer_tpu.utils.metrics import MetricsLogger, rays_per_second
+
+SCENE_JSON = [
+    {
+        "type": "Sphere",
+        "centerXYZ": [0.55, 0.5, 3.0],
+        "radius": 1.0,
+        "colorRGB": [1.0, 1.0, 1.0],
+        "reflection": 0.0,
+        "roughness": 0.01,
+        "texture": "",
+        "diffuse_gain": 0.0,
+    },
+    {
+        "type": "Sphere",
+        "centerXYZ": [-0.45, 0.1, 1.0],
+        "radius": 0.4,
+        "colorRGB": [1.0, 0.0, 0.0],
+        "roughness": 0.1,
+        "specular_gain": 1.0,
+        "diffuse_gain": 0.0,
+    },
+    {
+        "type": "Sphere",
+        "centerXYZ": [0.0, -99999.5, 0.0],
+        "radius": 99999.0,
+        "roughness": 0.5,
+        "specular_gain": 0.1,
+        "diffuse_gain": 1.0,
+        "texture": "checker",
+    },
+    {"type": "Light", "centerXYZ": [-2.0, 1.0, 2.0], "intensityRGB": [1.0, 1.0, 1.0]},
+    {"type": "DomeLight", "intensity": 0.1, "colorRGB": [1.0, 1.0, 1.0]},
+    {"type": "Camera", "positionXYZ": [0.0, 0.2, -2.0]},
+]
+
+
+def test_json_scene_matches_builtin(tmp_path):
+    """The reference scene written as JSON renders identically to the
+    builtin literal (the de-facto schema round-trip check)."""
+    from python_ray_tracer_tpu.models.scenes import reference_scene
+
+    path = tmp_path / "scene.json"
+    path.write_text(json.dumps(SCENE_JSON))
+    loaded = load_scene(path, width=96, height=54, dtype=jnp.float32)
+    builtin = reference_scene(96, 54, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=3, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(render(loaded, cfg)), np.asarray(render(builtin, cfg)), rtol=0, atol=1e-7
+    )
+
+
+def test_settings_roundtrip(tmp_path):
+    path = tmp_path / "settings.json"
+    path.write_text(
+        json.dumps(
+            {
+                "image_width": 120,
+                "image_height": 60,
+                "max_specular_depth": 4,
+                "dtype": "float32",
+                "visibility": "smooth",
+                "output_path": "x.png",
+            }
+        )
+    )
+    cfg, extras = load_settings(path)
+    assert cfg.max_depth == 4
+    assert cfg.visibility == "smooth"
+    assert (extras["width"], extras["height"]) == (120, 60)
+
+
+def test_image_texture_sphere(tmp_path):
+    """Image-textured sphere (the NumpyTexturedSphere feature spec,
+    shape.py:57-90 — dead code upstream, live here)."""
+    tex = (np.linspace(0, 255, 32 * 16 * 3).reshape(16, 32, 3)).astype(np.uint8)
+    save_png(tex / 255.0, tmp_path / "tex.png")
+    scene_json = [
+        {
+            "type": "Sphere",
+            "centerXYZ": [0.0, 0.0, 3.0],
+            "radius": 1.0,
+            "texture": "tex.png",
+            "diffuse_gain": 1.0,
+        },
+        {"type": "Light", "centerXYZ": [-2.0, 1.0, 2.0], "intensityRGB": [1, 1, 1]},
+    ]
+    path = tmp_path / "scene.json"
+    path.write_text(json.dumps(scene_json))
+    scene = load_scene(path, width=64, height=36, dtype=jnp.float32)
+    assert scene.texture_atlas.shape[0] == 1
+    img = np.asarray(render(scene, RenderConfig(max_depth=1, dtype=jnp.float32)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+
+
+def test_cli_render(tmp_path):
+    from python_ray_tracer_tpu.cli import main
+
+    out = tmp_path / "out.png"
+    metrics = tmp_path / "m.jsonl"
+    rc = main(
+        [
+            "render",
+            "--builtin", "reference",
+            "--width", "64", "--height", "36", "--depth", "2",
+            "-o", str(out),
+            "--metrics", str(metrics),
+        ]
+    )
+    assert rc == 0
+    assert load_png(out).shape == (36, 64, 3)
+    rec = json.loads(metrics.read_text().splitlines()[-1])
+    assert rec["event"] == "render"
+    assert rec["primary_rays_per_s"] > 0
+
+
+def test_cli_optimize_with_checkpoint_resume(tmp_path):
+    from python_ray_tracer_tpu.cli import main
+    from python_ray_tracer_tpu.models.scenes import reference_scene
+
+    target = tmp_path / "target.png"
+    scene = reference_scene(48, 27, dtype=jnp.float32)
+    save_png(
+        np.asarray(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth"))),
+        target,
+    )
+    ckpt = tmp_path / "state.npz"
+    common = [
+        "optimize",
+        "--builtin", "reference",
+        "--width", "48", "--height", "27", "--depth", "2",
+        "--visibility", "smooth",
+        "--target", str(target),
+        "--lr", "1e-3",
+        "--checkpoint", str(ckpt),
+        "--checkpoint-every", "2",
+    ]
+    assert main(common + ["--steps", "3"]) == 0
+    assert ckpt.exists()
+    # Resume: runs steps 3..4 only (fault-tolerant restart, SURVEY §5.3/5.4).
+    assert main(common + ["--steps", "5"]) == 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"a": jnp.arange(5.0), "b": (jnp.ones((2, 3)), jnp.asarray(7, jnp.int32))}
+    save_checkpoint(tmp_path / "c.npz", state)
+    loaded = load_checkpoint(tmp_path / "c.npz", state)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.arange(5.0))
+    assert int(loaded["b"][1]) == 7
+
+
+def test_metrics_logger(tmp_path):
+    m = MetricsLogger(tmp_path / "log.jsonl")
+    m.log("step", loss=0.5)
+    m.log("step", loss=0.25, **rays_per_second(1000, 3, 0.5))
+    lines = [json.loads(line) for line in (tmp_path / "log.jsonl").read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[1]["trace_segments_per_s"] == 12000.0
