@@ -5,11 +5,13 @@ Prints ONE JSON line:
 
 Baseline (BASELINE.md, measured on the reference NumPy implementation,
 which is forward-only): full 960x540 render of the main.py scene in
-1.40 s = 3.7e5 primary rays/s.  We time a full fwd+bwd step (render +
-L2 loss + gradients w.r.t. all scene parameters) at the same resolution
-with depth-3 reflections — strictly more work per ray than the baseline's
-forward-only pass — and report primary rays per second.  vs_baseline is
-the speedup over the reference's forward-only primary-rays/s.
+1.40 s = 3.7e5 primary rays/s.  We run a K-step Adam loop (render + L2
+pixel loss + gradients w.r.t. all scene parameters + update) at the same
+resolution with depth-3 reflections — strictly more work per ray than the
+baseline's forward-only pass — as ONE on-device lax.scan, so per-dispatch
+host latency (large on tunneled devices) does not pollute the number.
+vs_baseline is the speedup over the reference's forward-only primary
+rays/s.
 """
 
 from __future__ import annotations
@@ -23,30 +25,43 @@ import jax.numpy as jnp
 BASELINE_PRIMARY_RAYS_PER_S = 518_400 / 1.40  # BASELINE.md: 960x540 in 1.40 s
 
 W, H, DEPTH = 960, 540, 3
-WARMUP, ITERS = 2, 10
+STEPS = 20  # scanned on device per timed call
 
 
 def main() -> None:
+    import optax
+
     from python_ray_tracer_tpu import RenderConfig
     from python_ray_tracer_tpu.models.scenes import reference_scene
     from python_ray_tracer_tpu.optim import make_loss_fn, scene_to_params
+    from python_ray_tracer_tpu.render import render
 
     cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, visibility="smooth")
     scene = reference_scene(W, H, dtype=jnp.float32)
-    # Target: the scene's own hard render (loss value is irrelevant to timing).
-    from python_ray_tracer_tpu.render import render
-
     target = jnp.clip(render(scene, RenderConfig(max_depth=DEPTH, dtype=jnp.float32)), 0.0, 1.0)
-    params = scene_to_params(scene)
-    grad_fn = jax.jit(jax.value_and_grad(make_loss_fn(scene, target, cfg)))
 
-    for _ in range(WARMUP):
-        jax.block_until_ready(grad_fn(params))
+    params = scene_to_params(scene)
+    optimizer = optax.adam(1e-3)
+    loss_fn = make_loss_fn(scene, target, cfg)
+
+    @jax.jit
+    def run_steps(params, opt_state):
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), None, length=STEPS)
+        return params, opt_state, losses
+
+    opt_state = optimizer.init(params)
+    params_w, opt_w, losses = jax.block_until_ready(run_steps(params, opt_state))  # compile + warm
 
     start = time.perf_counter()
-    for _ in range(ITERS):
-        jax.block_until_ready(grad_fn(params))
-    elapsed = (time.perf_counter() - start) / ITERS
+    out = jax.block_until_ready(run_steps(params_w, opt_w))
+    elapsed = (time.perf_counter() - start) / STEPS
 
     rays_per_s = (W * H) / elapsed
     print(  # noqa: T201

@@ -58,6 +58,10 @@ class RenderConfig:
         block_spheres: sphere-block size the Pallas kernels loop over in
             VMEM (clamped to the padded sphere count).
         pallas_interpret: run Pallas kernels in interpreter mode (CPU CI).
+        ray_chunk: when > 0, trace rays in sequential chunks of this size
+            (a lax.map over tiles).  Bounds the XLA path's O(chunk * S)
+            working set for huge frames / sphere counts; 0 = whole frame
+            at once.
     """
 
     max_depth: int = 3
@@ -69,6 +73,7 @@ class RenderConfig:
     block_rays: int = 2048
     block_spheres: int = 256
     pallas_interpret: bool = False
+    ray_chunk: int = 0
     intersect_mode: str = "auto"
 
     def __post_init__(self) -> None:
@@ -106,6 +111,7 @@ class RenderConfig:
                 self.block_rays,
                 self.block_spheres,
                 self.pallas_interpret,
+                self.ray_chunk,
                 self.intersect_mode,
             )
         )
@@ -123,5 +129,6 @@ class RenderConfig:
             and self.block_rays == other.block_rays
             and self.block_spheres == other.block_spheres
             and self.pallas_interpret == other.pallas_interpret
+            and self.ray_chunk == other.ray_chunk
             and self.intersect_mode == other.intersect_mode
         )

@@ -61,23 +61,61 @@ class LaneMaterial(NamedTuple):
     texture_id: jax.Array  # (N,) int32
 
 
+# Above this sphere count the (N, S) one-hot becomes the memory bottleneck
+# and row gathers win (their backward scatter only matters for training,
+# which runs on small inverse-task scenes — BASELINE config 5 is 64 spheres).
+_ONEHOT_MAX_SPHERES = 128
+
+_FLOAT_FIELDS = (
+    "radius",
+    "specular_gain",
+    "specular_roughness",
+    "iridescence_gain",
+    "diffuse_gain",
+    "specular_ior",
+    "thin_film_weight",
+    "thin_film_thickness",
+    "thin_film_ior",
+)
+
+
 def gather_material(spheres: Spheres, idx: jax.Array) -> LaneMaterial:
-    """Gather the per-sphere table rows for each lane's nearest sphere."""
-    g = lambda a: jnp.take(a, idx, axis=0)
+    """Per-lane material rows for each lane's nearest sphere.
+
+    TPU-native path (small sphere tables): ONE ``one_hot(idx) @ M`` matmul
+    over a stacked (S, 15) material matrix.  A row gather's transpose is a
+    518k-lane scatter-add — serialized and ~17x the whole forward pass on
+    TPU — while the matmul transposes to another matmul on the MXU.  Large
+    tables fall back to row gathers (the one-hot would dominate memory).
+    """
+    dtype = spheres.center.dtype
+    s = spheres.center.shape[0]
+    if s <= _ONEHOT_MAX_SPHERES:
+        mat = jnp.concatenate(
+            [spheres.center, spheres.diffuse_color]
+            + [getattr(spheres, f)[:, None] for f in _FLOAT_FIELDS],
+            axis=1,
+        )  # (S, 6 + len(_FLOAT_FIELDS))
+        onehot = jax.nn.one_hot(idx, s, dtype=dtype)  # (N, S)
+        # HIGHEST precision: the default single-pass bf16 MXU matmul rounds
+        # material values to 8 mantissa bits; the 3-pass decomposition is
+        # exact for a one-hot product (operands split losslessly, products
+        # against 1.0 and 0.0 are exact).
+        rows = jnp.matmul(onehot, mat, precision=jax.lax.Precision.HIGHEST)  # (N, C)
+        center = rows[:, 0:3]
+        diffuse_color = rows[:, 3:6]
+        scalars = {f: rows[:, 6 + i] for i, f in enumerate(_FLOAT_FIELDS)}
+    else:
+        g = lambda a: jnp.take(a, idx, axis=0)
+        center = g(spheres.center)
+        diffuse_color = g(spheres.diffuse_color)
+        scalars = {f: g(getattr(spheres, f)) for f in _FLOAT_FIELDS}
     return LaneMaterial(
-        center=g(spheres.center),
-        radius=g(spheres.radius),
-        specular_gain=g(spheres.specular_gain),
-        specular_roughness=g(spheres.specular_roughness),
-        iridescence_gain=g(spheres.iridescence_gain),
-        diffuse_gain=g(spheres.diffuse_gain),
-        diffuse_color=g(spheres.diffuse_color),
-        specular_ior=g(spheres.specular_ior),
-        thin_film_weight=g(spheres.thin_film_weight),
-        thin_film_thickness=g(spheres.thin_film_thickness),
-        thin_film_ior=g(spheres.thin_film_ior),
-        texture_kind=g(spheres.texture_kind),
-        texture_id=g(spheres.texture_id),
+        center=center,
+        diffuse_color=diffuse_color,
+        texture_kind=jnp.take(spheres.texture_kind, idx, axis=0),
+        texture_id=jnp.take(spheres.texture_id, idx, axis=0),
+        **scalars,
     )
 
 

@@ -153,12 +153,17 @@ def _self_lookup(
     Returns ``(value, owns)`` — in sharded mode only the owning chip holds
     the real value, others hold ``fill`` (combined by the caller with
     pmin/psum as appropriate).
+
+    Implemented as a one-hot masked sum, not a row gather: the sum's
+    transpose is a broadcast multiply while a gather transposes to an
+    N-lane scatter-add — serialized and very slow on TPU.
     """
-    n, s_local = table.shape
-    li = idx - sphere_offset
-    owns = (li >= 0) & (li < s_local)
-    safe = jnp.clip(li, 0, s_local - 1)
-    val = jnp.where(owns, table[jnp.arange(n), safe], jnp.asarray(fill, table.dtype))
+    s_local = table.shape[1]
+    gidx = jnp.arange(s_local, dtype=jnp.int32)[None, :] + sphere_offset
+    onehot = gidx == idx[:, None]  # (N, S_local); all-False when not owned
+    val = jnp.sum(jnp.where(onehot, table, jnp.zeros_like(table)), axis=1)
+    owns = jnp.any(onehot, axis=1)
+    val = jnp.where(owns, val, jnp.asarray(fill, table.dtype))
     return val, owns
 
 
@@ -385,9 +390,23 @@ def render(scene: Scene, cfg: RenderConfig) -> jax.Array:
 
     The full pipeline of ``application.py:43-52``: camera ray generation →
     trace → (quantization lives in :mod:`.utils.image`).
+
+    With ``cfg.ray_chunk > 0`` the trace runs as a sequential ``lax.map``
+    over ray tiles, bounding peak memory at O(chunk * spheres) — how huge
+    frames x huge sphere counts fit on one chip without the Pallas path.
     """
     dirs = ray_directions(scene.camera, cfg.dtype)
-    color = trace(scene.camera.position, dirs, scene, cfg)
+    n = dirs.shape[0]
+    if cfg.ray_chunk and n > cfg.ray_chunk:
+        chunk = cfg.ray_chunk
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (n_pad - n, 3))], axis=0)
+        tiles = dirs.reshape(n_pad // chunk, chunk, 3)
+        color = jax.lax.map(lambda d: trace(scene.camera.position, d, scene, cfg), tiles)
+        color = color.reshape(n_pad, 3)[:n]
+    else:
+        color = trace(scene.camera.position, dirs, scene, cfg)
     return color.reshape(scene.camera.height, scene.camera.width, 3)
 
 
