@@ -56,11 +56,15 @@ def main() -> None:
         (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), None, length=STEPS)
         return params, opt_state, losses
 
+    import numpy as np
+
     opt_state = optimizer.init(params)
-    params_w, opt_w, losses = jax.block_until_ready(run_steps(params, opt_state))  # compile + warm
+    params_w, opt_w, losses = run_steps(params, opt_state)  # compile + warm
+    float(np.asarray(losses[-1]))  # forced host fetch — guarantees completion
 
     start = time.perf_counter()
-    out = jax.block_until_ready(run_steps(params_w, opt_w))
+    _, _, losses2 = run_steps(params_w, opt_w)
+    float(np.asarray(losses2[-1]))
     elapsed = (time.perf_counter() - start) / STEPS
 
     rays_per_s = (W * H) / elapsed

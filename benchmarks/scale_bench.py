@@ -26,15 +26,27 @@ def time_render(scene, cfg, frames: int) -> float:
 
     @jax.jit
     def run(scene):
-        def body(_, __):
-            return None, jnp.mean(render(scene, cfg))
+        # Each iteration jitters the camera by the carry so the render is
+        # NOT loop-invariant — without the data dependence XLA hoists the
+        # whole body out of the scan and the timing measures one frame.
+        import dataclasses
 
-        _, vals = jax.lax.scan(body, None, None, length=frames)
-        return vals
+        def body(carry, _):
+            cam = dataclasses.replace(
+                scene.camera, position=scene.camera.position + carry * 1e-6
+            )
+            img = render(dataclasses.replace(scene, camera=cam), cfg)
+            return jnp.mean(img), None
 
-    jax.block_until_ready(run(scene))  # compile + warm
+        final, _ = jax.lax.scan(body, jnp.zeros((), scene.camera.position.dtype), None, length=frames)
+        return final
+
+    import numpy as np
+
+    float(np.asarray(run(scene)))  # compile + warm (forced host fetch)
     t0 = time.perf_counter()
-    jax.block_until_ready(run(scene))
+    float(np.asarray(run(scene)))  # fetch forces full execution; scalar, so
+    # transfer cost is nil
     return (time.perf_counter() - t0) / frames
 
 
@@ -57,7 +69,7 @@ def main() -> None:
     n = args.width * args.height
     results = {}
 
-    cfg_p = RenderConfig(max_depth=args.depth, dtype=jnp.float32, use_pallas=True, block_rays=8192)
+    cfg_p = RenderConfig(max_depth=args.depth, dtype=jnp.float32, use_pallas=True)
     s = time_render(scene, cfg_p, args.frames)
     results["pallas_s_per_frame"] = round(s, 4)
     results["pallas_mrays_per_s"] = round(n / s / 1e6, 2)

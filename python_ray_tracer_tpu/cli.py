@@ -37,6 +37,7 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernels")
     p.add_argument("--metrics", type=str, help="JSONL metrics output path")
     p.add_argument("--profile", type=str, help="jax.profiler trace logdir")
+    p.add_argument("--denoise", action="store_true", help="NL-means denoise the output")
 
 
 def _build(args) -> tuple:
@@ -86,6 +87,11 @@ def cmd_render(args) -> int:
         t0 = time.perf_counter()
         img = jax.block_until_ready(fn(scene, cfg))
         render_s = time.perf_counter() - t0
+
+    if getattr(args, "denoise", False):
+        from .utils.denoise import nl_means_denoise
+
+        img = nl_means_denoise(jnp.clip(img, 0.0, 1.0))
 
     out = args.output or "render_out.png"
     save_png(np.asarray(img), out)
@@ -137,6 +143,11 @@ def cmd_optimize(args) -> int:
     step_fn = make_train_step(make_loss_fn(scene, target, cfg), optimizer)
     metrics = MetricsLogger(args.metrics)
     start = int(state.step)
+    if start >= args.steps:
+        print(  # noqa: T201
+            json.dumps({"final_loss": None, "steps": start, "note": "checkpoint already past --steps"})
+        )
+        return 0
     for i in range(start, args.steps):
         t0 = time.perf_counter()
         state, loss = step_fn(state)

@@ -70,7 +70,7 @@ class RenderConfig:
     edge_sharpness: float = 200.0
     shadow_sharpness: float = 200.0
     use_pallas: bool = False
-    block_rays: int = 2048
+    block_rays: int = 512
     block_spheres: int = 256
     pallas_interpret: bool = False
     ray_chunk: int = 0

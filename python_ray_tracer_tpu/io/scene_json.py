@@ -136,5 +136,6 @@ def load_settings(path: str | Path) -> tuple[RenderConfig, dict[str, Any]]:
         "width": int(raw.get("image_width", 960)),
         "height": int(raw.get("image_height", 540)),
         "output_path": raw.get("output_path", "render_out.png"),
+        "denoise": bool(raw.get("denoise", False)),  # old schema key, input_render_settings.json:7
     }
     return cfg, extras

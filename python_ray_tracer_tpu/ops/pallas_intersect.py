@@ -15,24 +15,32 @@ per-lane values are (1, B) lane vectors; sphere-block components broadcast
 as (K, 1) sublane columns; the (K, B) per-block table reduces over the
 sublane axis with no cross-layout relayouts.
 
-Numerics: same contract as :func:`..ops.intersect.intersect_all_stable` —
-exact (hi, lo) splits of ``o - c`` (Knuth twoSum), compensated squares
-(Dekker twoProd), and the stable q-form root pairing, so the float32 kernel
-survives the ~1e10 cancellation of the reference's giant ground sphere
-(``main.py:39-43``).  Hit semantics are the reference's strict
-``disc > 0 & t > 0`` (``shape.py:50-51``).
+Numerics — two tiers, split at scene build (``Spheres.n_exact``,
+``scene.py``):
+
+* **cheap tier** (leading rows; ordinary radii/centers): the plain
+  float32 quadratic in the well-conditioned ``|o-c|^2 - r^2`` form,
+  ~35 flops per ray-sphere test;
+* **exact tier** (trailing rows; huge radius or far center, e.g. the
+  reference's r=99999 ground sphere, ``main.py:39-43``): the same
+  compensated arithmetic as :func:`..ops.intersect.intersect_all_stable`
+  — exact (hi, lo) splits of ``o - c`` (Knuth twoSum), compensated squares
+  (Dekker twoProd) and the stable q-form root pairing — ~120 flops, which
+  is why it only runs on the rows that need it.
+
+Hit semantics are the reference's strict ``disc > 0 & t > 0``
+(``shape.py:50-51``) in both tiers.
 
 Gradients: ``nearest_hit_pallas`` carries a custom VJP using the implicit
-derivative of ``|o + t*d - c|^2 = r^2`` at the winning sphere — identical
-(up to rounding) to differentiating the closed-form root, at O(N) cost.
-Visibility (``shadow_hard_pallas``) is a step function; callers treat it as
-a constant exactly like the XLA hard path does.
+derivative of the unit-direction quadratic at the winning sphere —
+identical (up to rounding) to differentiating the closed-form root, at
+O(N) cost.  Visibility (``shadow_hard_pallas``) is a step function;
+callers treat it as a constant exactly like the XLA hard path does.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -42,10 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import NearestHit
 from .vecmath import dot
 
-# Padding geometry for sphere blocks: zero radius => disc = -4*(|oc|^2 -
-# (d.oc)^2) <= 0 by Cauchy-Schwarz, so the strict disc > 0 test can never
-# fire; placed far below any scene.
-_PAD_CENTER = (0.0, -1.0e7, 0.0)
+# Padding geometry: zero radius => disc <= 0 by Cauchy-Schwarz, so the
+# strict disc > 0 test can never fire (up to colinear-ray rounding, which
+# the far placement makes astronomically unlikely).
+_PAD_CENTER_CHEAP = (0.0, -1.0e4, 0.0)
+_PAD_CENTER_EXACT = (0.0, -1.0e7, 0.0)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -53,7 +62,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel sweep core (compensated float math, lane-ray layout).
+# In-kernel sweep cores (lane-ray layout).
 # ---------------------------------------------------------------------------
 
 
@@ -77,12 +86,31 @@ def _two_prod(a, b, dtype):
     return p, ((ah * bh - p) + ah * bl + al * bh) + al * bl
 
 
-def _block_t(o, d, c, r, faraway):
-    """Hit distance of every (sphere k, ray b) pair in a block.
+def _roots(b_coef, c_term, faraway, dtype):
+    """Strict-inequality root selection (shape.py:41-51), stable q-form."""
+    disc = b_coef * b_coef - 4.0 * c_term
+    pos = disc > 0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+    qroot = -0.5 * (b_coef + jnp.where(b_coef < 0, -sq, sq))
+    safe_q = jnp.where(qroot == 0, jnp.ones_like(qroot), qroot)
+    other = jnp.where(qroot == 0, jnp.zeros_like(qroot), c_term / safe_q)
+    t0 = jnp.minimum(qroot, other)
+    t1 = jnp.maximum(qroot, other)
+    sol = jnp.where((t0 > 0) & (t0 < t1), t0, t1)
+    return jnp.where(pos & (sol > 0), sol, jnp.asarray(faraway, dtype))
 
-    o, d: 3-tuples of (1, B) lane vectors; c: 3-tuple of (K, 1) columns;
-    r: (K, 1).  Returns t (K, B), FARAWAY on miss.
-    """
+
+def _block_t_fast(o, d, c, r, faraway):
+    """Cheap-tier hit distances: plain well-conditioned quadratic."""
+    dtype = r.dtype
+    oc = tuple(o[i] - c[i] for i in range(3))  # (K, B)
+    b_coef = 2.0 * (d[0] * oc[0] + d[1] * oc[1] + d[2] * oc[2])
+    c_term = oc[0] * oc[0] + oc[1] * oc[1] + oc[2] * oc[2] - r * r
+    return _roots(b_coef, c_term, faraway, dtype)
+
+
+def _block_t_exact(o, d, c, r, faraway):
+    """Exact-tier hit distances: compensated arithmetic (huge spheres)."""
     dtype = r.dtype
     h = []
     lo = []
@@ -109,18 +137,7 @@ def _block_t(o, d, c, r, faraway):
         + (lo[0] * lo[0] + lo[1] * lo[1] + lo[2] * lo[2])
     )
     c_term = s3 + corr
-
-    disc = b_coef * b_coef - 4.0 * c_term
-    pos = disc > 0
-    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
-
-    qroot = -0.5 * (b_coef + jnp.where(b_coef < 0, -sq, sq))
-    safe_q = jnp.where(qroot == 0, jnp.ones_like(qroot), qroot)
-    other = jnp.where(qroot == 0, jnp.zeros_like(qroot), c_term / safe_q)
-    t0 = jnp.minimum(qroot, other)
-    t1_ = jnp.maximum(qroot, other)
-    sol = jnp.where((t0 > 0) & (t0 < t1_), t0, t1_)
-    return jnp.where(pos & (sol > 0), sol, jnp.asarray(faraway, dtype))
+    return _roots(b_coef, c_term, faraway, dtype)
 
 
 def _read_rays(o_ref, d_ref):
@@ -129,11 +146,31 @@ def _read_rays(o_ref, d_ref):
     return o, d
 
 
-def _sphere_block(c_ref, r_ref, k0: int, block: int):
+def _sphere_block(c_ref, r_ref, k0, block: int):
     cb = c_ref[pl.ds(k0, block), :]  # (K, 3)
     c = (cb[:, 0:1], cb[:, 1:2], cb[:, 2:3])  # (K, 1) each
     r = r_ref[pl.ds(k0, block), :]  # (K, 1)
     return c, r
+
+
+def _region_plan(n_rows: int, block_spheres: int) -> tuple[int, int]:
+    """(padded rows, block size) for one tier; always at least one block."""
+    rows = max(n_rows, 1)
+    bs = min(block_spheres, _round_up(rows, 8))
+    return _round_up(rows, bs), bs
+
+
+def _pad_region(center, radius, n_pad: int, pad_center) -> tuple[jax.Array, jax.Array]:
+    s = center.shape[0]
+    if s == n_pad:
+        return center, radius.reshape(-1, 1)
+    extra = n_pad - s
+    dtype = center.dtype if s else jnp.float32
+    pad_c = jnp.broadcast_to(jnp.asarray(pad_center, dtype), (extra, 3))
+    center = jnp.concatenate([center, pad_c], axis=0) if s else pad_c
+    zeros = jnp.zeros((extra,), radius.dtype if s else jnp.float32)
+    radius = jnp.concatenate([radius, zeros], axis=0) if s else zeros
+    return center, radius.reshape(-1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -141,27 +178,33 @@ def _sphere_block(c_ref, r_ref, k0: int, block: int):
 # ---------------------------------------------------------------------------
 
 
-def _nearest_kernel(o_ref, d_ref, c_ref, r_ref, t_out, idx_out, *, faraway: float, block_spheres: int):
-    n_spheres = c_ref.shape[0]
-    n_blocks = n_spheres // block_spheres
+def _nearest_kernel(
+    o_ref, d_ref, cc_ref, rc_ref, ce_ref, re_ref, t_out, idx_out,
+    *, faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
+):
     o, d = _read_rays(o_ref, d_ref)
     width = o[0].shape[1]
-    dtype = r_ref.dtype
+    dtype = rc_ref.dtype
 
-    def body(k, carry):
-        tmin, imin = carry
-        c, r = _sphere_block(c_ref, r_ref, k * block_spheres, block_spheres)
-        t = _block_t(o, d, c, r, faraway)  # (K, B)
-        sidx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + k * block_spheres
-        # Block-local nearest (first winner on exact ties, like argmin).
-        tb = jnp.min(t, axis=0, keepdims=True)  # (1, B)
-        ib = jnp.min(jnp.where(t == tb, sidx, jnp.iinfo(jnp.int32).max), axis=0, keepdims=True)
-        take = tb < tmin  # strict: earlier block wins ties (lower index)
-        return jnp.where(take, tb, tmin), jnp.where(take, ib, imin)
+    def tier(c_ref, r_ref, bs, base, block_t, carry):
+        def body(k, carry):
+            tmin, imin = carry
+            c, r = _sphere_block(c_ref, r_ref, k * bs, bs)
+            t = block_t(o, d, c, r, faraway)  # (K, B)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + (k * bs + base)
+            tb = jnp.min(t, axis=0, keepdims=True)  # (1, B)
+            ib = jnp.min(jnp.where(t == tb, sidx, jnp.iinfo(jnp.int32).max), axis=0, keepdims=True)
+            take = tb < tmin  # strict: earlier block wins ties (lower index)
+            return jnp.where(take, tb, tmin), jnp.where(take, ib, imin)
 
-    tmin0 = jnp.full((1, width), jnp.asarray(faraway, dtype))
-    imin0 = jnp.zeros((1, width), jnp.int32)
-    tmin, imin = jax.lax.fori_loop(0, n_blocks, body, (tmin0, imin0))
+        return jax.lax.fori_loop(0, c_ref.shape[0] // bs, body, carry)
+
+    carry = (
+        jnp.full((1, width), jnp.asarray(faraway, dtype)),
+        jnp.zeros((1, width), jnp.int32),
+    )
+    carry = tier(cc_ref, rc_ref, bs_cheap, 0, _block_t_fast, carry)
+    tmin, imin = tier(ce_ref, re_ref, bs_exact, exact_base, _block_t_exact, carry)
     t_out[:, :] = tmin
     idx_out[:, :] = jnp.where(tmin == jnp.asarray(faraway, dtype), 0, imin)
 
@@ -176,16 +219,16 @@ def _pad_rays(o: jax.Array, d: jax.Array, block: int) -> tuple[jax.Array, jax.Ar
     return o, d, n
 
 
-def _pad_spheres(center: jax.Array, radius: jax.Array, block: int) -> tuple[jax.Array, jax.Array]:
+def _split_tiers(center, radius, n_exact: int, block_spheres: int):
+    """Partition + pad the sphere table into (cheap, exact) tier operands."""
     s = center.shape[0]
-    s_pad = _round_up(s, block)
-    if s_pad == s:
-        return center, radius.reshape(-1, 1)
-    extra = s_pad - s
-    pad_c = jnp.broadcast_to(jnp.asarray(_PAD_CENTER, center.dtype), (extra, 3))
-    center = jnp.concatenate([center, pad_c], axis=0)
-    radius = jnp.concatenate([radius, jnp.zeros((extra,), radius.dtype)], axis=0)
-    return center, radius.reshape(-1, 1)
+    n_exact = min(n_exact, s)
+    s_cheap = s - n_exact
+    pad_cheap, bs_cheap = _region_plan(s_cheap, block_spheres)
+    pad_exact, bs_exact = _region_plan(n_exact, block_spheres)
+    cc, rc = _pad_region(center[:s_cheap], radius[:s_cheap], pad_cheap, _PAD_CENTER_CHEAP)
+    ce, re = _pad_region(center[s_cheap:], radius[s_cheap:], pad_exact, _PAD_CENTER_EXACT)
+    return cc, rc, ce, re, bs_cheap, bs_exact, s_cheap
 
 
 def _nearest_call(
@@ -194,26 +237,32 @@ def _nearest_call(
     center: jax.Array,  # (S, 3)
     radius: jax.Array,  # (S,)
     faraway: float,
+    n_exact: int,
     block_rays: int,
     block_spheres: int,
     interpret: bool,
 ) -> tuple[jax.Array, jax.Array]:
     o, d, n = _pad_rays(origin, direction, block_rays)
-    block_spheres = min(block_spheres, _round_up(center.shape[0], 8))
-    c, r = _pad_spheres(center, radius, block_spheres)
+    cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(center, radius, n_exact, block_spheres)
     n_pad = d.shape[0]
-    o_t = o.T  # (3, N)
-    d_t = d.T
     grid = (n_pad // block_rays,)
 
-    kernel = functools.partial(_nearest_kernel, faraway=faraway, block_spheres=block_spheres)
+    kernel = functools.partial(
+        _nearest_kernel,
+        faraway=faraway,
+        bs_cheap=bs_cheap,
+        bs_exact=bs_exact,
+        exact_base=s_cheap,
+    )
     t, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # full sphere table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cheap-tier table
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # exact-tier table
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -225,21 +274,27 @@ def _nearest_call(
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ),
         interpret=interpret,
-    )(o_t, d_t, c, r)
+    )(o.T, d.T, cc, rc, ce, re)
     return t[0, :n], idx[0, :n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def nearest_hit_pallas_raw(origin, direction, center, radius, faraway, block_rays, block_spheres, interpret):
-    return _nearest_call(origin, direction, center, radius, faraway, block_rays, block_spheres, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def nearest_hit_pallas_raw(
+    origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+):
+    return _nearest_call(
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+    )
 
 
-def _nearest_fwd(origin, direction, center, radius, faraway, block_rays, block_spheres, interpret):
-    t, idx = _nearest_call(origin, direction, center, radius, faraway, block_rays, block_spheres, interpret)
+def _nearest_fwd(origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret):
+    t, idx = _nearest_call(
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+    )
     return (t, idx), (origin, direction, center, radius, t, idx)
 
 
-def _nearest_bwd(faraway, block_rays, block_spheres, interpret, residuals, cotangents):
+def _nearest_bwd(faraway, n_exact, block_rays, block_spheres, interpret, residuals, cotangents):
     """Implicit-function gradient at the winning sphere.
 
     The kernel roots the unit-direction quadratic
@@ -289,14 +344,21 @@ def nearest_hit_pallas(
     radius: jax.Array,
     faraway: float,
     *,
-    block_rays: int = 1024,
-    block_spheres: int = 256,
+    n_exact: int | None = None,
+    block_rays: int = 512,
+    block_spheres: int = 32,
     interpret: bool = False,
 ) -> NearestHit:
-    """Fused nearest-hit sweep; drop-in for intersect_all + nearest-hit."""
+    """Fused nearest-hit sweep; drop-in for intersect_all + nearest-hit.
+
+    ``n_exact=None`` (the safe default) treats every sphere as exact-tier;
+    pass ``scene.spheres.n_exact`` for the fast two-tier split.
+    """
     origin = jnp.broadcast_to(origin, direction.shape)
+    if n_exact is None:
+        n_exact = center.shape[0]
     t, idx = nearest_hit_pallas_raw(
-        origin, direction, center, radius, faraway, block_rays, block_spheres, interpret
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
     )
     return NearestHit(t=t, idx=idx, hit=t != jnp.asarray(faraway, t.dtype))
 
@@ -307,29 +369,32 @@ def nearest_hit_pallas(
 
 
 def _shadow_kernel(
-    o_ref, d_ref, self_ref, c_ref, r_ref, out_ref, *, faraway: float, block_spheres: int
+    o_ref, d_ref, self_ref, cc_ref, rc_ref, ce_ref, re_ref, out_ref,
+    *, faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
 ):
-    n_spheres = c_ref.shape[0]
-    n_blocks = n_spheres // block_spheres
     o, d = _read_rays(o_ref, d_ref)
     width = o[0].shape[1]
-    dtype = r_ref.dtype
+    dtype = rc_ref.dtype
     self_idx = self_ref[:, :]  # (1, B) int32
 
     big = jnp.asarray(3.0e38 if dtype == jnp.float32 else 1.0e300, dtype)
 
-    def body(k, carry):
-        t_others, t_self = carry
-        c, r = _sphere_block(c_ref, r_ref, k * block_spheres, block_spheres)
-        t = _block_t(o, d, c, r, faraway)  # (K, B)
-        sidx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + k * block_spheres
-        is_self = sidx == self_idx  # (K, B) broadcast over sublanes
-        t_others_b = jnp.min(jnp.where(is_self, big, t), axis=0, keepdims=True)
-        t_self_b = jnp.min(jnp.where(is_self, t, big), axis=0, keepdims=True)
-        return jnp.minimum(t_others, t_others_b), jnp.minimum(t_self, t_self_b)
+    def tier(c_ref, r_ref, bs, base, block_t, carry):
+        def body(k, carry):
+            t_others, t_self = carry
+            c, r = _sphere_block(c_ref, r_ref, k * bs, bs)
+            t = block_t(o, d, c, r, faraway)  # (K, B)
+            sidx = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0) + (k * bs + base)
+            is_self = sidx == self_idx  # (K, B)
+            t_others_b = jnp.min(jnp.where(is_self, big, t), axis=0, keepdims=True)
+            t_self_b = jnp.min(jnp.where(is_self, t, big), axis=0, keepdims=True)
+            return jnp.minimum(t_others, t_others_b), jnp.minimum(t_self, t_self_b)
 
-    init = (jnp.full((1, width), big), jnp.full((1, width), big))
-    t_others, t_self = jax.lax.fori_loop(0, n_blocks, body, init)
+        return jax.lax.fori_loop(0, c_ref.shape[0] // bs, body, carry)
+
+    carry = (jnp.full((1, width), big), jnp.full((1, width), big))
+    carry = tier(cc_ref, rc_ref, bs_cheap, 0, _block_t_fast, carry)
+    t_others, t_self = tier(ce_ref, re_ref, bs_exact, exact_base, _block_t_exact, carry)
     # Reference semantics (shader.py:127-128): lit iff own sphere is the
     # nearest hit along the shadow ray, evaluated as t_self <= min(others).
     out_ref[:, :] = (t_self <= t_others).astype(dtype)
@@ -343,22 +408,30 @@ def shadow_hard_pallas(
     self_idx: jax.Array,  # (N,) int32 — each lane's own sphere
     faraway: float,
     *,
-    block_rays: int = 1024,
-    block_spheres: int = 256,
+    n_exact: int | None = None,
+    block_rays: int = 512,
+    block_spheres: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused hard shadow visibility in [0, 1] (step function — no gradient;
     callers stop_gradient the inputs like the XLA hard path's comparison)."""
     origin = jnp.broadcast_to(origin, direction.shape)
+    if n_exact is None:
+        n_exact = center.shape[0]
     o, d, n = _pad_rays(origin, direction, block_rays)
-    block_spheres = min(block_spheres, _round_up(center.shape[0], 8))
-    c, r = _pad_spheres(center, radius, block_spheres)
+    cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(center, radius, n_exact, block_spheres)
     n_pad = d.shape[0]
     si = jnp.concatenate(
         [self_idx.astype(jnp.int32), jnp.zeros((n_pad - n,), jnp.int32)]
     ).reshape(1, n_pad)
 
-    kernel = functools.partial(_shadow_kernel, faraway=faraway, block_spheres=block_spheres)
+    kernel = functools.partial(
+        _shadow_kernel,
+        faraway=faraway,
+        bs_cheap=bs_cheap,
+        bs_exact=bs_exact,
+        exact_base=s_cheap,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // block_rays,),
@@ -368,11 +441,13 @@ def shadow_hard_pallas(
             pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), d.dtype),
         interpret=interpret,
-    )(o.T, d.T, si, c, r)
+    )(o.T, d.T, si, cc, rc, ce, re)
     return out[0, :n]
 
 

@@ -65,11 +65,18 @@ def pad_spheres(spheres: Spheres, multiple: int) -> Spheres:
 
     import dataclasses
 
-    kw = {f.name: pad_leaf(getattr(spheres, f.name), 0) for f in dataclasses.fields(Spheres)}
+    kw = {
+        f.name: pad_leaf(getattr(spheres, f.name), 0)
+        for f in dataclasses.fields(Spheres)
+        if f.name != "n_exact"
+    }
     # radius stays 0; all material columns stay 0 (padding rows never win
     # the nearest-hit reduction, so their materials are never gathered).
     kw["center"] = pad_leaf(spheres.center, jnp.asarray(_PAD_CENTER))
-    return Spheres(**kw)
+    # Padding rows land after the exact tier, breaking the trailing-rows
+    # invariant; mark the whole padded table exact-tier (always safe — the
+    # sharded path never routes through the fused kernels anyway).
+    return Spheres(**kw, n_exact=spheres.count + pad)
 
 
 def trace_sharded(

@@ -308,6 +308,7 @@ def trace(
                 sweep_center,
                 sweep_radius,
                 cfg.faraway,
+                n_exact=scene.spheres.n_exact,
                 block_rays=cfg.block_rays,
                 block_spheres=cfg.block_spheres,
                 interpret=cfg.pallas_interpret,
@@ -344,6 +345,7 @@ def trace(
                 sg(sweep_radius),
                 idx,
                 cfg.faraway,
+                n_exact=scene.spheres.n_exact,
                 block_rays=cfg.block_rays,
                 block_spheres=cfg.block_spheres,
                 interpret=cfg.pallas_interpret,

@@ -97,6 +97,14 @@ class Spheres:
     parity but — exactly like the reference (``shader.py:45`` is never read;
     the live reflection scale is ``0.5 * specular_gain``, ``shader.py:106``)
     — it does not affect rendering.
+
+    ``n_exact`` (static): number of TRAILING rows that need the
+    compensated-arithmetic intersection path in float32 (huge radius or
+    far-off center, e.g. the reference's r=99999 ground plane,
+    ``main.py:39-43``).  :func:`build_spheres` orders such spheres last and
+    sets the split; the Pallas kernels run ~4x cheaper plain-f32 math on
+    the leading rows.  0 is always safe (means "treat all rows as cheap"
+    when the table is known benign, or callers may pass the full count).
     """
 
     center: jax.Array  # (S, 3)
@@ -113,13 +121,19 @@ class Spheres:
     thin_film_ior: jax.Array  # (S,)
     texture_kind: jax.Array  # (S,) int32 — TEXTURE_CONST/CHECKER/IMAGE
     texture_id: jax.Array  # (S,) int32 — row into the scene texture atlas
+    n_exact: int = 0  # static — trailing rows needing compensated math
 
     @property
     def count(self) -> int:
         return self.center.shape[0]
 
 
-Spheres = _register(Spheres)
+Spheres = _register(Spheres, meta=("n_exact",))
+
+# Host-side partition thresholds: beyond these, |o-c|^2 - r^2 cancels
+# catastrophically in float32 and the sphere goes to the exact tier.
+EXACT_TIER_RADIUS = 100.0
+EXACT_TIER_CENTER = 1000.0
 
 
 @dataclasses.dataclass
@@ -177,14 +191,28 @@ def make_sphere_row(
 
 
 def build_spheres(rows: list[dict[str, Any]], dtype: Any = jnp.float32) -> Spheres:
-    """Stack per-sphere rows into the dense SoA table."""
+    """Stack per-sphere rows into the dense SoA table.
+
+    Rows are reordered cheap-tier first / exact-tier last (stable within
+    each tier) so the float32 kernels can run plain math on the cheap
+    prefix; ``n_exact`` records the split.
+    """
     if not rows:
         raise ValueError("scene needs at least one sphere")
+
+    def is_exact(r: dict[str, Any]) -> bool:
+        return float(r["radius"]) > EXACT_TIER_RADIUS or float(
+            np.abs(np.asarray(r["center"])).max()
+        ) > EXACT_TIER_CENTER
+
+    rows = sorted(rows, key=is_exact)  # stable: cheap tier keeps input order
+    n_exact = sum(1 for r in rows if is_exact(r))
 
     def col(name: str, d: Any) -> jax.Array:
         return jnp.asarray(np.stack([np.asarray(r[name]) for r in rows]), dtype=d)
 
     return Spheres(
+        n_exact=n_exact,
         center=col("center", dtype),
         radius=col("radius", dtype),
         reflection_gain=col("reflection_gain", dtype),

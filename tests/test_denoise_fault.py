@@ -1,0 +1,79 @@
+"""Denoiser parity-of-capability + checkpoint fault-injection (SURVEY §5.3/5.4).
+
+The reference's denoiser is an orphan cv2 wrapper (``denoiser.py:1-8``);
+ours must actually reduce noise while preserving structure.  The fault
+test kills an optimization mid-run (SIGKILL, no cleanup) and asserts the
+restart resumes from the last checkpoint instead of step 0.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.models.scenes import reference_scene
+from python_ray_tracer_tpu.utils.denoise import nl_means_denoise
+from python_ray_tracer_tpu.utils.image import save_png
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_denoise_reduces_noise_preserves_signal():
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    clean = np.clip(np.asarray(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32))), 0, 1)
+    rng = np.random.default_rng(0)
+    noisy = np.clip(clean + rng.normal(0, 0.05, clean.shape), 0, 1).astype(np.float32)
+
+    out = np.asarray(nl_means_denoise(jnp.asarray(noisy), strength=0.08))
+    mse_before = float(np.mean((noisy - clean) ** 2))
+    mse_after = float(np.mean((out - clean) ** 2))
+    assert mse_after < mse_before * 0.6, f"{mse_before} -> {mse_after}"
+    # And it must not destroy a clean image.
+    out_clean = np.asarray(nl_means_denoise(jnp.asarray(clean), strength=0.02))
+    assert float(np.mean((out_clean - clean) ** 2)) < 1e-3
+
+
+def test_sigkill_mid_optimize_then_resume(tmp_path):
+    """Fault injection: SIGKILL the trainer mid-run; a restart must resume
+    from the checkpoint (step > 0) and finish the remaining steps."""
+    scene = reference_scene(32, 18, dtype=jnp.float32)
+    target = tmp_path / "target.png"
+    save_png(
+        np.asarray(render(scene, RenderConfig(max_depth=1, dtype=jnp.float32, visibility="smooth"))),
+        target,
+    )
+    ckpt = tmp_path / "state.npz"
+    metrics = tmp_path / "metrics.jsonl"
+    cmd = [
+        sys.executable, "-m", "python_ray_tracer_tpu.cli", "optimize",
+        "--builtin", "reference", "--width", "32", "--height", "18",
+        "--depth", "1", "--visibility", "smooth",
+        "--target", str(target), "--steps", "200", "--lr", "1e-3",
+        "--checkpoint", str(ckpt), "--checkpoint-every", "2",
+        "--metrics", str(metrics),
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+
+    proc = subprocess.Popen(cmd, cwd=REPO, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    while time.time() < deadline and not ckpt.exists():
+        if proc.poll() is not None:
+            raise AssertionError(f"trainer exited early rc={proc.returncode}")
+        time.sleep(0.5)
+    assert ckpt.exists(), "no checkpoint written before deadline"
+    proc.kill()  # SIGKILL — no atexit, no final checkpoint
+    proc.wait()
+
+    # Resume; stderr must report a resume at step > 0, then finish the run.
+    out = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "resumed from" in out.stderr
+    final = json.loads(out.stdout.strip().splitlines()[-1])
+    assert final["final_loss"] is None or np.isfinite(final["final_loss"])

@@ -149,6 +149,45 @@ def test_train_step_jits_and_descends():
     assert losses[-1] < losses[0] * 0.5, f"{losses[0]} -> {losses[-1]}"
 
 
+def test_config3_loss_vs_reference_target():
+    """BASELINE config 3 verbatim: L2 pixel loss against the checked-in
+    ``ref_spec_noRoughness_domelight.png`` at its native 563x527, gradients
+    w.r.t. sphere centers/radii/colors and light params, spot finite-diff
+    check on a shading-linear param."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from python_ray_tracer_tpu.utils.image import load_png
+
+    path = pathlib.Path("/root/reference/ref_spec_noRoughness_domelight.png")
+    if not path.exists():
+        pytest.skip("reference target image not mounted")
+    target_u8 = load_png(path)
+    h, w = target_u8.shape[:2]
+    target = jnp.asarray(target_u8, jnp.float32) / 255.0
+
+    scene = reference_scene(w, h, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth")
+    params = scene_to_params(scene)
+    loss_fn = jax.jit(make_loss_fn(scene, target, cfg))
+    val, grads = jax.jit(jax.value_and_grad(make_loss_fn(scene, target, cfg)))(params)
+    assert np.isfinite(float(val))
+    for key in ("spheres.center", "spheres.radius", "spheres.diffuse_color", "lights.point_position"):
+        assert np.isfinite(np.asarray(grads[key])).all(), key
+    assert float(jnp.abs(grads["spheres.center"]).max()) > 0
+
+    # FD spot check (f32, so tolerance is loose but directional).
+    key, idx, eps = "spheres.specular_gain", (1,), 1e-3
+    p_plus = dict(params)
+    p_plus[key] = params[key].at[idx].add(eps)
+    p_minus = dict(params)
+    p_minus[key] = params[key].at[idx].add(-eps)
+    g_fd = (float(loss_fn(p_plus)) - float(loss_fn(p_minus))) / (2 * eps)
+    g_ad = float(grads[key][idx])
+    assert g_ad == pytest.approx(g_fd, rel=5e-2, abs=1e-6)
+
+
 def test_sharded_grads_match_single():
     """Gradients through shard_map == single-device gradients."""
     from python_ray_tracer_tpu.parallel import make_mesh

@@ -89,12 +89,14 @@ def test_full_render_pallas_matches_xla():
 
 
 def test_many_spheres_render():
+    """Cheap-tier (plain f32) kernel vs compensated XLA: differences stay an
+    order of magnitude under the uint8 quantum (3.9e-3)."""
     scene = random_spheres_scene(n_spheres=128, width=64, height=36)
     cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32)
     cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=512, block_spheres=32)
     exp = np.asarray(render(scene, cfg_x))
     got = np.asarray(render(scene, cfg_p))
-    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, exp, rtol=1e-3, atol=3e-4)
 
 
 def test_nearest_vjp_matches_xla_grad():
