@@ -42,10 +42,25 @@ def pixel_grid(width: int, height: int, dtype: Any) -> jax.Array:
     return jnp.asarray(np.stack([x, y, z], axis=-1), dtype=dtype)
 
 
-def ray_directions(camera: Camera, dtype: Any) -> jax.Array:
+def pixel_pitch(width: int, height: int) -> tuple[float, float]:
+    """Screen-space (dx, dy) between adjacent pixel centers."""
+    aspect_ratio = float(width) / float(height)
+    dx = 2.0 / (width - 1) if width > 1 else 0.0
+    dy = (2.0 / aspect_ratio) / (height - 1) if height > 1 else 0.0
+    return dx, dy
+
+
+def ray_directions(camera: Camera, dtype: Any, jitter: jax.Array | None = None) -> jax.Array:
     """(H*W, 3) unit ray directions from the camera through the pixel grid.
 
     Ref ``base.py:141``: ``(NumpyVector3D(x, y, 0) - camera.position).norm()``.
+    ``jitter`` is an optional (H*W, 2) subpixel offset in [-0.5, 0.5)
+    pixel units (supersampling); None keeps the reference's center rays.
     """
     grid = pixel_grid(camera.width, camera.height, dtype)
+    if jitter is not None:
+        dx, dy = pixel_pitch(camera.width, camera.height)
+        pitch = jnp.asarray([dx, -dy, 0.0], dtype)  # y decreases downward
+        offs = jnp.concatenate([jitter, jnp.zeros_like(jitter[:, :1])], axis=1)
+        grid = grid + offs * pitch[None, :]
     return normalize(grid - jnp.asarray(camera.position, dtype=dtype)[None, :])

@@ -38,6 +38,9 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--metrics", type=str, help="JSONL metrics output path")
     p.add_argument("--profile", type=str, help="jax.profiler trace logdir")
     p.add_argument("--denoise", action="store_true", help="NL-means denoise the output")
+    p.add_argument("--spp", type=int, default=1, help="samples per pixel (jittered supersampling)")
+    p.add_argument("--stochastic-roughness", action="store_true", help="sample glossy GGX reflections")
+    p.add_argument("--seed", type=int, default=0, help="PRNG seed for sampling")
 
 
 def _build(args) -> tuple:
@@ -52,7 +55,13 @@ def _build(args) -> tuple:
         width, height = extras["width"], extras["height"]
     else:
         cfg = RenderConfig(
-            max_depth=args.depth, dtype=dtype, visibility=args.visibility, use_pallas=args.pallas
+            max_depth=args.depth,
+            dtype=dtype,
+            visibility=args.visibility,
+            use_pallas=args.pallas,
+            samples_per_pixel=getattr(args, "spp", 1),
+            stochastic_roughness=getattr(args, "stochastic_roughness", False),
+            rng_seed=getattr(args, "seed", 0),
         )
         width, height = args.width, args.height
 

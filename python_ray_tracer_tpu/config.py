@@ -62,6 +62,17 @@ class RenderConfig:
             (a lax.map over tiles).  Bounds the XLA path's O(chunk * S)
             working set for huge frames / sphere counts; 0 = whole frame
             at once.
+        samples_per_pixel: stratified-jitter supersampling (the old
+            engine's ``max_samples_per_pixel``, settings schema
+            ``input_render_settings.json:4``).  1 = the reference's single
+            center ray per pixel.
+        stochastic_roughness: sample the GGX half-vector distribution for
+            reflection directions instead of perfect mirrors — the glossy
+            blur the reference's stale ``test_roughness_statistical``
+            specs (``tests/test_ray_tracing.py:68-81`` upstream).
+            Deterministic given ``rng_seed``.
+        rng_seed: PRNG seed for supersampling/stochastic paths (replay is
+            bitwise-reproducible for a fixed seed).
     """
 
     max_depth: int = 3
@@ -74,11 +85,16 @@ class RenderConfig:
     block_spheres: int = 256
     pallas_interpret: bool = False
     ray_chunk: int = 0
+    samples_per_pixel: int = 1
+    stochastic_roughness: bool = False
+    rng_seed: int = 0
     intersect_mode: str = "auto"
 
     def __post_init__(self) -> None:
         if self.max_depth < 1:
             raise ValueError("max_depth must be >= 1")
+        if self.samples_per_pixel < 1:
+            raise ValueError("samples_per_pixel must be >= 1")
         if self.visibility not in (VISIBILITY_HARD, VISIBILITY_SMOOTH):
             raise ValueError(f"unknown visibility mode: {self.visibility}")
         if self.intersect_mode not in ("auto", "reference", "stable"):
@@ -112,6 +128,9 @@ class RenderConfig:
                 self.block_spheres,
                 self.pallas_interpret,
                 self.ray_chunk,
+                self.samples_per_pixel,
+                self.stochastic_roughness,
+                self.rng_seed,
                 self.intersect_mode,
             )
         )
@@ -130,5 +149,8 @@ class RenderConfig:
             and self.block_spheres == other.block_spheres
             and self.pallas_interpret == other.pallas_interpret
             and self.ray_chunk == other.ray_chunk
+            and self.samples_per_pixel == other.samples_per_pixel
+            and self.stochastic_roughness == other.stochastic_roughness
+            and self.rng_seed == other.rng_seed
             and self.intersect_mode == other.intersect_mode
         )

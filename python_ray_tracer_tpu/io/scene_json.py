@@ -131,6 +131,10 @@ def load_settings(path: str | Path) -> tuple[RenderConfig, dict[str, Any]]:
         dtype=_DTYPES[raw.get("dtype", "float32")],
         visibility=raw.get("visibility", "hard"),
         use_pallas=bool(raw.get("use_pallas", False)),
+        # old schema's sampling knob (input_render_settings.json:4)
+        samples_per_pixel=int(raw.get("max_samples_per_pixel", 1)),
+        stochastic_roughness=bool(raw.get("stochastic_roughness", False)),
+        rng_seed=int(raw.get("rng_seed", 0)),
     )
     extras = {
         "width": int(raw.get("image_width", 960)),

@@ -41,3 +41,42 @@ def normalize(a: jax.Array) -> jax.Array:
 def reflect(direction: jax.Array, normal: jax.Array) -> jax.Array:
     """Mirror direction, normalized — ref ``shader.py:151``."""
     return normalize(direction - normal * (2.0 * dot(direction, normal))[..., None])
+
+
+def orthonormal_basis(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Branchless tangent frame around unit normals (Duff/Frisvad)."""
+    s = jnp.where(n[..., 2] >= 0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t1 = jnp.stack([1.0 + s * n[..., 0] * n[..., 0] * a, s * b, -s * n[..., 0]], axis=-1)
+    t2 = jnp.stack([b, s + n[..., 1] * n[..., 1] * a, -n[..., 1]], axis=-1)
+    return t1, t2
+
+
+def ggx_perturb_reflect(
+    direction: jax.Array,  # (N, 3) incoming unit dirs
+    normal: jax.Array,  # (N, 3) unit normals
+    roughness: jax.Array,  # (N,)
+    xi: jax.Array,  # (N, 2) uniforms in [0, 1)
+) -> jax.Array:
+    """Reflect about a GGX-sampled microfacet half-vector.
+
+    Classic NDF sampling: ``tan^2(theta_h) = alpha^2 * xi1 / (1 - xi1)``
+    with ``alpha = roughness^2`` (the reference's alpha convention,
+    ``shader.py:294``).  ``roughness = 0`` degenerates to the exact mirror;
+    samples that would send the ray below the surface fall back to the
+    mirror direction (keeps energy bounded, no black fringes).
+    """
+    alpha = (roughness**2)[..., None]
+    xi1 = xi[..., 0:1]
+    xi2 = xi[..., 1:2]
+    tan2 = (alpha**2) * xi1 / jnp.maximum(1.0 - xi1, 1e-8)
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t**2))
+    phi = (2.0 * jnp.pi) * xi2
+    t1, t2 = orthonormal_basis(normal)
+    h = normalize(t1 * (sin_t * jnp.cos(phi)) + t2 * (sin_t * jnp.sin(phi)) + normal * cos_t)
+    r = reflect(direction, h)
+    mirror = reflect(direction, normal)
+    above = dot(r, normal) > 0
+    return jnp.where(above[..., None], r, mirror)

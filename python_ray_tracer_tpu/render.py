@@ -268,6 +268,7 @@ def trace(
     sphere_axis: str | None = None,  # mesh axis the sweep is sharded over
     sphere_offset: jax.Array | int = 0,  # global index of sweep row 0
     ray_axis: str | None = None,  # mesh axis the ray lanes are sharded over
+    key: jax.Array | None = None,  # PRNG key for stochastic roughness
 ) -> jax.Array:
     """Trace N rays to ``cfg.max_depth`` bounces; returns (N, 3) color.
 
@@ -296,9 +297,14 @@ def trace(
     fused = cfg.use_pallas and not smooth and sphere_axis is None
     if fused:
         from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas
+    stochastic = cfg.stochastic_roughness and key is not None
 
     def bounce(carry, _):
-        o, d, throughput, alive, accum = carry
+        if stochastic:
+            o, d, throughput, alive, accum, k = carry
+            k, k_bounce = jax.random.split(k)
+        else:
+            o, d, throughput, alive, accum = carry
 
         if fused:
             res = None
@@ -363,6 +369,14 @@ def trace(
         alive = coverage if smooth else (alive * near.hit.astype(dtype))
 
         o_next = p_nudged
+        if stochastic:
+            # Glossy reflection: jitter the mirror by a GGX-sampled
+            # microfacet (the old engine's stochastic roughness, SURVEY §4).
+            from .ops.vecmath import ggx_perturb_reflect
+
+            xi = jax.random.uniform(k_bounce, (n, 2), dtype)
+            d_next = ggx_perturb_reflect(d, normal, mat.specular_roughness, xi)
+            return (o_next, d_next, throughput, alive, accum, k), None
         d_next = reflect(d, normal)  # shader.py:151
         return (o_next, d_next, throughput, alive, accum), None
 
@@ -373,6 +387,8 @@ def trace(
         jnp.ones((n,), dtype),
         jnp.zeros((n, 3), dtype),
     )
+    if stochastic:
+        init = init + (key,)
     if ray_axis is not None:
         # Inside shard_map the scan carry becomes varying over the ray axis
         # on the first iteration; mark the init likewise so the carry types
@@ -383,8 +399,37 @@ def trace(
             return jax.lax.pcast(x, (ray_axis,), to="varying")
 
         init = jax.tree_util.tree_map(to_varying, init)
-    (_, _, _, _, accum), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
-    return accum
+    final, _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    return final[4]
+
+
+def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, key: jax.Array | None) -> jax.Array:
+    """One (optionally jittered) sample per pixel → flat (H*W, 3) colors.
+
+    With ``cfg.ray_chunk > 0`` the trace runs as a sequential ``lax.map``
+    over ray tiles, bounding peak memory at O(chunk * spheres) — how huge
+    frames x huge sphere counts fit on one chip without the Pallas path.
+    """
+    dirs = ray_directions(scene.camera, cfg.dtype, jitter)
+    n = dirs.shape[0]
+    if cfg.ray_chunk and n > cfg.ray_chunk:
+        chunk = cfg.ray_chunk
+        n_pad = -(-n // chunk) * chunk
+        if n_pad != n:
+            dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (n_pad - n, 3))], axis=0)
+        tiles = dirs.reshape(n_pad // chunk, chunk, 3)
+        if key is None:
+            color = jax.lax.map(lambda d: trace(scene.camera.position, d, scene, cfg), tiles)
+        else:
+            keys = jax.random.split(key, tiles.shape[0])
+            color = jax.lax.map(
+                lambda dk: trace(scene.camera.position, dk[0], scene, cfg, key=dk[1]),
+                (tiles, keys),
+            )
+        color = color.reshape(n_pad, 3)[:n]
+    else:
+        color = trace(scene.camera.position, dirs, scene, cfg, key=key)
+    return color
 
 
 def render(scene: Scene, cfg: RenderConfig) -> jax.Array:
@@ -393,23 +438,29 @@ def render(scene: Scene, cfg: RenderConfig) -> jax.Array:
     The full pipeline of ``application.py:43-52``: camera ray generation →
     trace → (quantization lives in :mod:`.utils.image`).
 
-    With ``cfg.ray_chunk > 0`` the trace runs as a sequential ``lax.map``
-    over ray tiles, bounding peak memory at O(chunk * spheres) — how huge
-    frames x huge sphere counts fit on one chip without the Pallas path.
+    ``cfg.samples_per_pixel > 1`` averages jittered subpixel samples (a
+    sequential scan — memory stays at one frame);
+    ``cfg.stochastic_roughness`` draws glossy reflection directions.  Both
+    are deterministic functions of ``cfg.rng_seed``.
     """
-    dirs = ray_directions(scene.camera, cfg.dtype)
-    n = dirs.shape[0]
-    if cfg.ray_chunk and n > cfg.ray_chunk:
-        chunk = cfg.ray_chunk
-        n_pad = -(-n // chunk) * chunk
-        if n_pad != n:
-            dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (n_pad - n, 3))], axis=0)
-        tiles = dirs.reshape(n_pad // chunk, chunk, 3)
-        color = jax.lax.map(lambda d: trace(scene.camera.position, d, scene, cfg), tiles)
-        color = color.reshape(n_pad, 3)[:n]
-    else:
-        color = trace(scene.camera.position, dirs, scene, cfg)
-    return color.reshape(scene.camera.height, scene.camera.width, 3)
+    h, w = scene.camera.height, scene.camera.width
+    spp = cfg.samples_per_pixel
+    if spp == 1 and not cfg.stochastic_roughness:
+        color = _render_sample(scene, cfg, None, None)
+        return color.reshape(h, w, 3)
+
+    base = jax.random.PRNGKey(cfg.rng_seed)
+    n = h * w
+
+    def sample(acc, i):
+        k = jax.random.fold_in(base, i)
+        k_jit, k_trace = jax.random.split(k)
+        jitter = jax.random.uniform(k_jit, (n, 2), cfg.dtype) - 0.5 if spp > 1 else None
+        color = _render_sample(scene, cfg, jitter, k_trace if cfg.stochastic_roughness else None)
+        return acc + color, None
+
+    acc, _ = jax.lax.scan(sample, jnp.zeros((n, 3), cfg.dtype), jnp.arange(spp))
+    return (acc / spp).reshape(h, w, 3)
 
 
 _render_jit = jax.jit(render, static_argnums=1)
