@@ -85,6 +85,7 @@ class RenderConfig:
     block_spheres: int = 256
     pallas_interpret: bool = False
     ray_chunk: int = 0
+    remat: bool = False  # jax.checkpoint each bounce: recompute in backward
     samples_per_pixel: int = 1
     stochastic_roughness: bool = False
     rng_seed: int = 0
@@ -128,6 +129,7 @@ class RenderConfig:
                 self.block_spheres,
                 self.pallas_interpret,
                 self.ray_chunk,
+                self.remat,
                 self.samples_per_pixel,
                 self.stochastic_roughness,
                 self.rng_seed,
@@ -149,6 +151,7 @@ class RenderConfig:
             and self.block_spheres == other.block_spheres
             and self.pallas_interpret == other.pallas_interpret
             and self.ray_chunk == other.ray_chunk
+            and self.remat == other.remat
             and self.samples_per_pixel == other.samples_per_pixel
             and self.stochastic_roughness == other.stochastic_roughness
             and self.rng_seed == other.rng_seed

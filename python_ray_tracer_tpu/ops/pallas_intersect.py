@@ -231,6 +231,14 @@ def _split_tiers(center, radius, n_exact: int, block_spheres: int):
     return cc, rc, ce, re, bs_cheap, bs_exact, s_cheap
 
 
+def _out_struct(shape, dtype, vma):
+    """ShapeDtypeStruct carrying varying-manual-axes info when inside
+    shard_map (required by the VMA checker for pallas_call outputs)."""
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
 def _nearest_call(
     origin: jax.Array,  # (N, 3)
     direction: jax.Array,  # (N, 3)
@@ -241,6 +249,7 @@ def _nearest_call(
     block_rays: int,
     block_spheres: int,
     interpret: bool,
+    vma: frozenset | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     o, d, n = _pad_rays(origin, direction, block_rays)
     cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(center, radius, n_exact, block_spheres)
@@ -270,31 +279,31 @@ def _nearest_call(
             pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, n_pad), d.dtype),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            _out_struct((1, n_pad), d.dtype, vma),
+            _out_struct((1, n_pad), jnp.int32, vma),
         ),
         interpret=interpret,
     )(o.T, d.T, cc, rc, ce, re)
     return t[0, :n], idx[0, :n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def nearest_hit_pallas_raw(
-    origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+    origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret, vma
 ):
     return _nearest_call(
-        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret, vma
     )
 
 
-def _nearest_fwd(origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret):
+def _nearest_fwd(origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret, vma):
     t, idx = _nearest_call(
-        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret, vma
     )
     return (t, idx), (origin, direction, center, radius, t, idx)
 
 
-def _nearest_bwd(faraway, n_exact, block_rays, block_spheres, interpret, residuals, cotangents):
+def _nearest_bwd(faraway, n_exact, block_rays, block_spheres, interpret, vma, residuals, cotangents):
     """Implicit-function gradient at the winning sphere.
 
     The kernel roots the unit-direction quadratic
@@ -348,17 +357,21 @@ def nearest_hit_pallas(
     block_rays: int = 512,
     block_spheres: int = 32,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> NearestHit:
     """Fused nearest-hit sweep; drop-in for intersect_all + nearest-hit.
 
     ``n_exact=None`` (the safe default) treats every sphere as exact-tier;
-    pass ``scene.spheres.n_exact`` for the fast two-tier split.
+    pass ``scene.spheres.n_exact`` for the fast two-tier split.  ``vma``
+    declares the output's varying mesh axes when called inside shard_map
+    (e.g. ``{"rays"}``).
     """
     origin = jnp.broadcast_to(origin, direction.shape)
     if n_exact is None:
         n_exact = center.shape[0]
     t, idx = nearest_hit_pallas_raw(
-        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret
+        origin, direction, center, radius, faraway, n_exact, block_rays, block_spheres, interpret,
+        frozenset(vma) if vma else None,
     )
     return NearestHit(t=t, idx=idx, hit=t != jnp.asarray(faraway, t.dtype))
 
@@ -412,6 +425,7 @@ def shadow_hard_pallas(
     block_rays: int = 512,
     block_spheres: int = 32,
     interpret: bool = False,
+    vma: frozenset | None = None,
 ) -> jax.Array:
     """Fused hard shadow visibility in [0, 1] (step function — no gradient;
     callers stop_gradient the inputs like the XLA hard path's comparison)."""
@@ -445,7 +459,7 @@ def shadow_hard_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), d.dtype),
+        out_shape=_out_struct((1, n_pad), d.dtype, vma),
         interpret=interpret,
     )(o.T, d.T, si, cc, rc, ce, re)
     return out[0, :n]

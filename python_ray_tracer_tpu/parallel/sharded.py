@@ -93,9 +93,14 @@ def trace_sharded(
     """
     n_sphere_shards = mesh.shape[SPHERE_AXIS]
     s_local = scene.spheres.count // n_sphere_shards
+    # With a single sphere shard the geometry is replicated instead of
+    # sharded: no collectives in the bounce loop, and — crucially — the
+    # fused Pallas kernels can run inside the shard (pure tile parallelism,
+    # the production pod-render config).
+    sphere_sharded = n_sphere_shards > 1
 
     def shard_fn(dirs_shard: jax.Array, center_shard: jax.Array, radius_shard: jax.Array, scene_rep: Scene):
-        offset = jax.lax.axis_index(SPHERE_AXIS) * s_local
+        offset = jax.lax.axis_index(SPHERE_AXIS) * s_local if sphere_sharded else 0
         return trace(
             scene_rep.camera.position,
             dirs_shard,
@@ -103,15 +108,16 @@ def trace_sharded(
             cfg,
             sweep_center=center_shard,
             sweep_radius=radius_shard,
-            sphere_axis=SPHERE_AXIS,  # no-op collectives when the axis has size 1
+            sphere_axis=SPHERE_AXIS if sphere_sharded else None,
             sphere_offset=offset,
             ray_axis=RAY_AXIS,
         )
 
+    geom_spec = P(SPHERE_AXIS) if sphere_sharded else P()
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(SPHERE_AXIS), P(SPHERE_AXIS), P()),
+        in_specs=(P(RAY_AXIS), geom_spec, geom_spec, P()),
         out_specs=P(RAY_AXIS),
     )(dirs, scene.spheres.center, scene.spheres.radius, scene)
 

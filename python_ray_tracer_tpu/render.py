@@ -318,6 +318,7 @@ def trace(
                 block_rays=cfg.block_rays,
                 block_spheres=cfg.block_spheres,
                 interpret=cfg.pallas_interpret,
+                vma={ray_axis} if ray_axis is not None else None,
             )
         else:
             res = _sweep(o, d, sweep_center, sweep_radius, cfg)
@@ -355,6 +356,7 @@ def trace(
                 block_rays=cfg.block_rays,
                 block_spheres=cfg.block_spheres,
                 interpret=cfg.pallas_interpret,
+                vma={ray_axis} if ray_axis is not None else None,
             )
         else:
             shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg)
@@ -399,7 +401,8 @@ def trace(
             return jax.lax.pcast(x, (ray_axis,), to="varying")
 
         init = jax.tree_util.tree_map(to_varying, init)
-    final, _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    step = jax.checkpoint(bounce) if cfg.remat else bounce
+    final, _ = jax.lax.scan(step, init, None, length=cfg.max_depth)
     return final[4]
 
 

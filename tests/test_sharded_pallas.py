@@ -1,0 +1,38 @@
+"""Fused Pallas kernels inside shard_map (tile parallelism) + remat parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.models.scenes import reference_scene
+from python_ray_tracer_tpu.optim import make_loss_fn, scene_to_params
+from python_ray_tracer_tpu.parallel import make_mesh, render_sharded
+
+
+def test_pallas_inside_ray_sharding():
+    """8-way tile-parallel render through the fused kernels (interpret mode
+    on the virtual CPU mesh) == single-device XLA."""
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    cfg_x = RenderConfig(max_depth=3, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=3, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=256)
+    exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x))
+    mesh = make_mesh(8, 1)
+    got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg_p, mesh))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_remat_forward_and_grads_match():
+    scene = reference_scene(64, 36, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=3, dtype=jnp.float32, visibility="smooth")
+    cfg_r = RenderConfig(max_depth=3, dtype=jnp.float32, visibility="smooth", remat=True)
+    a = np.asarray(render(scene, cfg))
+    b = np.asarray(render(scene, cfg_r))
+    np.testing.assert_array_equal(a, b)
+
+    target = jnp.clip(jnp.asarray(a), 0.0, 1.0)
+    params = scene_to_params(scene)
+    g1 = jax.jit(jax.grad(make_loss_fn(scene, target, cfg)))(params)
+    g2 = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_r)))(params)
+    for key in g1:
+        np.testing.assert_allclose(np.asarray(g2[key]), np.asarray(g1[key]), rtol=1e-4, atol=1e-6, err_msg=key)
