@@ -27,7 +27,12 @@ import numpy as np
 
 def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", type=str, help="JSON scene file")
-    p.add_argument("--builtin", type=str, choices=["reference", "random1024", "inverse64"], help="built-in scene")
+    p.add_argument(
+        "--builtin",
+        type=str,
+        choices=["reference", "all_effects", "random1024", "inverse64"],
+        help="built-in scene",
+    )
     p.add_argument("--settings", type=str, help="JSON render-settings file")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
@@ -73,6 +78,8 @@ def _build(args) -> tuple:
         name = args.builtin or "reference"
         if name == "reference":
             scene = builtin.reference_scene(width, height, dtype=cfg.dtype)
+        elif name == "all_effects":
+            scene = builtin.all_effects_scene(width, height, dtype=cfg.dtype)
         elif name == "random1024":
             scene = builtin.random_spheres_scene(width=width, height=height, dtype=cfg.dtype)
         else:

@@ -70,6 +70,40 @@ def reference_scene(width: int = 960, height: int = 540, dtype: Any = jnp.float3
     return make_scene(spheres, lights, (0.0, 0.2, -2.0), width, height, dtype=dtype)
 
 
+def all_effects_scene(width: int = 960, height: int = 540, dtype: Any = jnp.float32) -> Scene:
+    """Every feature at once (the reference's ``docs/images/all_effects.png``
+    montage, ``README.md:12-20`` there): checker ground, glossy red sphere,
+    iridescent sphere, mirror sphere, matte colored sphere, point + dome
+    light."""
+    rows = [
+        # mirror sphere
+        make_sphere_row((0.9, 0.35, 2.6), 0.85, specular_gain=1.0, specular_roughness=0.02),
+        # glossy red sphere
+        make_sphere_row(
+            (-0.9, 0.0, 1.6), 0.5, specular_gain=0.9, specular_roughness=0.15,
+            diffuse_gain=0.6, diffuse_color=(0.9, 0.05, 0.05),
+        ),
+        # iridescent sphere
+        make_sphere_row(
+            (0.0, -0.1, 1.1), 0.35, specular_gain=0.4, specular_roughness=0.3,
+            iridescence_gain=2.5, diffuse_gain=0.25, diffuse_color=(0.2, 0.2, 0.4),
+        ),
+        # matte green sphere
+        make_sphere_row(
+            (-2.0, 0.3, 3.2), 0.8, diffuse_gain=1.0, diffuse_color=(0.1, 0.7, 0.2),
+            specular_gain=0.15, specular_roughness=0.5,
+        ),
+        # checker ground
+        make_sphere_row(
+            (0.0, -99999.5, 0.0), 99999.0, specular_gain=0.1, specular_roughness=0.5,
+            diffuse_gain=1.0, texture_kind=TEXTURE_CHECKER,
+        ),
+    ]
+    spheres = build_spheres(rows, dtype=dtype)
+    lights = build_lights((-2.0, 2.5, -1.0), domes=[(0.12, (0.9, 0.95, 1.0))], dtype=dtype)
+    return make_scene(spheres, lights, (0.0, 0.3, -2.2), width, height, dtype=dtype)
+
+
 def random_spheres_scene(
     n_spheres: int = 1024,
     width: int = 1920,

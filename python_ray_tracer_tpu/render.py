@@ -53,16 +53,25 @@ def _sweep(
     center: jax.Array,
     radius: jax.Array,
     cfg: RenderConfig,
+    *,
+    pin: bool = False,
 ) -> IntersectResult:
-    """All-spheres intersection sweep, Pallas or XLA."""
+    """All-spheres intersection sweep, Pallas or XLA.
+
+    ``pin=True`` wraps the result in an optimization_barrier so every
+    consumer reads ONE canonical computation.  Needed only where a
+    collective-combined value is compared against a local recomputation
+    (the sphere-sharded path): without it XLA may duplicate the sweep into
+    differently-fused — differently-rounded — subgraphs and flip the
+    owner-equality decision.  Off the sharded path the barrier just blocks
+    fusion (measured: the bounce shatters into hundreds of extra
+    materialized intermediates), so it stays off.
+    """
     sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
     res = sweep(origin, direction, center, radius, cfg.faraway)
-    # Pin ONE canonical computation of the sweep: downstream decision logic
-    # (nearest-hit equality, shadow t_self vs min-others) reads the table
-    # several times, and without the barrier XLA may duplicate the sweep into
-    # differently-fused — differently-rounded — subgraphs, flipping hit and
-    # shadow decisions between consumers.
-    return IntersectResult(*jax.lax.optimization_barrier(tuple(res)))
+    if pin:
+        res = IntersectResult(*jax.lax.optimization_barrier(tuple(res)))
+    return res
 
 
 def _soft_cover(sol: jax.Array, disc: jax.Array, sharpness: float) -> jax.Array:
@@ -321,7 +330,7 @@ def trace(
                 vma={ray_axis} if ray_axis is not None else None,
             )
         else:
-            res = _sweep(o, d, sweep_center, sweep_radius, cfg)
+            res = _sweep(o, d, sweep_center, sweep_radius, cfg, pin=sphere_axis is not None)
             near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
         if smooth:
@@ -359,7 +368,7 @@ def trace(
                 vma={ray_axis} if ray_axis is not None else None,
             )
         else:
-            shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg)
+            shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg, pin=sphere_axis is not None)
             if smooth:
                 in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
             else:

@@ -169,3 +169,27 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(line) for line in (tmp_path / "log.jsonl").read_text().splitlines()]
     assert len(lines) == 2
     assert lines[1]["trace_segments_per_s"] == 12000.0
+
+
+def test_all_effects_scene_and_main_module(tmp_path):
+    """The all-effects builtin renders finitely; `python -m` entry works."""
+    import subprocess
+    import sys
+
+    from python_ray_tracer_tpu.models.scenes import all_effects_scene
+
+    scene = all_effects_scene(64, 36)
+    img = np.asarray(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)))
+    assert np.isfinite(img).all() and img.max() > 0.1
+
+    out = tmp_path / "m.png"
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "python_ray_tracer_tpu", "render", "--builtin", "all_effects",
+         "--width", "48", "--height", "27", "--depth", "1", "-o", str(out)],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert load_png(out).shape == (27, 48, 3)
