@@ -415,6 +415,14 @@ def trace(
     return final[4]
 
 
+def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
+    """The fully-fused bounce kernel covers: Pallas on, hard visibility,
+    forward-only layout (no image-texture atlas — detected statically by
+    the dummy (1,1) atlas shape).  Everything else falls back."""
+    atlas_dummy = scene.texture_atlas.shape[1] == 1 and scene.texture_atlas.shape[2] == 1
+    return cfg.use_pallas and cfg.visibility != VISIBILITY_SMOOTH and atlas_dummy and not cfg.ray_chunk
+
+
 def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, key: jax.Array | None) -> jax.Array:
     """One (optionally jittered) sample per pixel → flat (H*W, 3) colors.
 
@@ -424,6 +432,10 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     """
     dirs = ray_directions(scene.camera, cfg.dtype, jitter)
     n = dirs.shape[0]
+    if _can_fuse_bounce(scene, cfg) and key is None:
+        from .ops.pallas_bounce import trace_fused
+
+        return trace_fused(scene.camera.position, dirs, scene, cfg)
     if cfg.ray_chunk and n > cfg.ray_chunk:
         chunk = cfg.ray_chunk
         n_pad = -(-n // chunk) * chunk

@@ -60,6 +60,8 @@ def test_sigkill_mid_optimize_then_resume(tmp_path):
         "--metrics", str(metrics),
     ]
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    # Skip the TPU-tunnel PJRT registration (can block on a busy tunnel).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
 
     proc = subprocess.Popen(cmd, cwd=REPO, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     deadline = time.time() + 120

@@ -186,6 +186,9 @@ def test_all_effects_scene_and_main_module(tmp_path):
     import os
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # Skip the TPU-tunnel PJRT registration in the child: it can block for
+    # minutes while another process holds the tunnel.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-m", "python_ray_tracer_tpu", "render", "--builtin", "all_effects",
          "--width", "48", "--height", "27", "--depth", "1", "-o", str(out)],
