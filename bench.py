@@ -17,9 +17,17 @@ rays/s.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: tunnel-remote compiles of the fwd+bwd graph
+# take minutes; cache them across runs.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 BASELINE_PRIMARY_RAYS_PER_S = 518_400 / 1.40  # BASELINE.md: 960x540 in 1.40 s

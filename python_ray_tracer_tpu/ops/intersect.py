@@ -168,6 +168,72 @@ def _two_prod(a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
     return p, e
 
 
+def intersect_all_plain(
+    origin: jax.Array,  # (N, 3) or (3,)
+    direction: jax.Array,  # (N, 3)
+    center: jax.Array,  # (S, 3)
+    radius: jax.Array,  # (S,)
+    faraway: float,
+) -> IntersectResult:
+    """Well-conditioned plain sweep: ``c_term = |o-c|^2 - r^2`` directly.
+
+    ~4x fewer ops than the compensated path; accurate for ordinary
+    radii/centers (the cheap tier of ``Spheres.n_exact``).  NOT safe for
+    huge spheres — the reference ground plane's 1e10-scale cancellation
+    needs :func:`intersect_all_stable`.
+    """
+    o = jnp.broadcast_to(origin, direction.shape)[:, None, :]
+    d = direction[:, None, :]
+    c = center[None, :, :]
+
+    oc = o - c  # (N, S, 3)
+    b = 2.0 * (d[..., 0] * oc[..., 0] + d[..., 1] * oc[..., 1] + d[..., 2] * oc[..., 2])
+    c_term = (
+        oc[..., 0] * oc[..., 0] + oc[..., 1] * oc[..., 1] + oc[..., 2] * oc[..., 2]
+        - radius[None, :] * radius[None, :]
+    )
+
+    disc = b * b - 4.0 * c_term
+    pos = disc > 0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+
+    qroot = -0.5 * (b + jnp.copysign(sq, b))
+    safe_q = jnp.where(qroot == 0, jnp.ones_like(qroot), qroot)
+    other = jnp.where(qroot == 0, jnp.zeros_like(qroot), c_term / safe_q)
+    t0 = jnp.minimum(qroot, other)
+    t1_ = jnp.maximum(qroot, other)
+    sol = jnp.where((t0 > 0) & (t0 < t1_), t0, t1_)
+
+    t = jnp.where(pos & (sol > 0), sol, jnp.asarray(faraway, dtype=sol.dtype))
+    return IntersectResult(t=t, sol=sol, disc=disc)
+
+
+def intersect_two_tier(
+    origin: jax.Array,
+    direction: jax.Array,
+    center: jax.Array,  # (S, 3) — cheap rows first, exact rows last
+    radius: jax.Array,
+    faraway: float,
+    n_exact: int,
+) -> IntersectResult:
+    """Tiered sweep: plain math on the cheap prefix, compensated on the
+    exact suffix (same split as the Pallas kernels, ``scene.py n_exact``)."""
+    s = center.shape[0]
+    n_exact = min(n_exact, s)
+    if n_exact == 0:
+        return intersect_all_plain(origin, direction, center, radius, faraway)
+    if n_exact == s:
+        return intersect_all_stable(origin, direction, center, radius, faraway)
+    s_cheap = s - n_exact
+    a = intersect_all_plain(origin, direction, center[:s_cheap], radius[:s_cheap], faraway)
+    b = intersect_all_stable(origin, direction, center[s_cheap:], radius[s_cheap:], faraway)
+    return IntersectResult(
+        t=jnp.concatenate([a.t, b.t], axis=1),
+        sol=jnp.concatenate([a.sol, b.sol], axis=1),
+        disc=jnp.concatenate([a.disc, b.disc], axis=1),
+    )
+
+
 def intersect_all_stable(
     origin: jax.Array,  # (N, 3) or (3,)
     direction: jax.Array,  # (N, 3)

@@ -73,10 +73,10 @@ def pad_spheres(spheres: Spheres, multiple: int) -> Spheres:
     # radius stays 0; all material columns stay 0 (padding rows never win
     # the nearest-hit reduction, so their materials are never gathered).
     kw["center"] = pad_leaf(spheres.center, jnp.asarray(_PAD_CENTER))
-    # Padding rows land after the exact tier, breaking the trailing-rows
-    # invariant; mark the whole padded table exact-tier (always safe — the
-    # sharded path never routes through the fused kernels anyway).
-    return Spheres(**kw, n_exact=spheres.count + pad)
+    # Padding rows land after the exact tier; fold them INTO the exact
+    # suffix so real rows keep their tier (exact-tier math on an
+    # unhittable pad row is merely conservative).
+    return Spheres(**kw, n_exact=spheres.n_exact + pad)
 
 
 def trace_sharded(

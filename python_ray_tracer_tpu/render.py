@@ -54,9 +54,14 @@ def _sweep(
     radius: jax.Array,
     cfg: RenderConfig,
     *,
+    n_exact: int | None = None,
     pin: bool = False,
 ) -> IntersectResult:
     """All-spheres intersection sweep, Pallas or XLA.
+
+    ``n_exact`` enables the two-tier float32 path (plain math on the
+    cheap sphere prefix, compensated on the exact suffix); None keeps
+    everything on the compensated path.
 
     ``pin=True`` wraps the result in an optimization_barrier so every
     consumer reads ONE canonical computation.  Needed only where a
@@ -67,8 +72,14 @@ def _sweep(
     fusion (measured: the bounce shatters into hundreds of extra
     materialized intermediates), so it stays off.
     """
-    sweep = intersect_all_stable if cfg.stable_intersect else intersect_all
-    res = sweep(origin, direction, center, radius, cfg.faraway)
+    if not cfg.stable_intersect:
+        res = intersect_all(origin, direction, center, radius, cfg.faraway)
+    elif n_exact is None:
+        res = intersect_all_stable(origin, direction, center, radius, cfg.faraway)
+    else:
+        from .ops.intersect import intersect_two_tier
+
+        res = intersect_two_tier(origin, direction, center, radius, cfg.faraway, n_exact)
     if pin:
         res = IntersectResult(*jax.lax.optimization_barrier(tuple(res)))
     return res
@@ -330,7 +341,10 @@ def trace(
                 vma={ray_axis} if ray_axis is not None else None,
             )
         else:
-            res = _sweep(o, d, sweep_center, sweep_radius, cfg, pin=sphere_axis is not None)
+            res = _sweep(
+                o, d, sweep_center, sweep_radius, cfg,
+                n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+            )
             near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
         if smooth:
@@ -368,7 +382,10 @@ def trace(
                 vma={ray_axis} if ray_axis is not None else None,
             )
         else:
-            shadow_res = _sweep(p_nudged, to_light, sweep_center, sweep_radius, cfg, pin=sphere_axis is not None)
+            shadow_res = _sweep(
+                p_nudged, to_light, sweep_center, sweep_radius, cfg,
+                n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+            )
             if smooth:
                 in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
             else:
