@@ -44,7 +44,9 @@ def main() -> None:
     from python_ray_tracer_tpu.optim import make_loss_fn, scene_to_params
     from python_ray_tracer_tpu.render import render
 
-    cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, visibility="smooth")
+    # use_pallas routes through the fused fwd+bwd bounce kernels (custom
+    # VJP) — the whole training step is a handful of kernel launches.
+    cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, visibility="smooth", use_pallas=True)
     scene = reference_scene(W, H, dtype=jnp.float32)
     target = jnp.clip(render(scene, RenderConfig(max_depth=DEPTH, dtype=jnp.float32)), 0.0, 1.0)
 

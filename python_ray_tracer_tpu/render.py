@@ -433,11 +433,12 @@ def trace(
 
 
 def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
-    """The fully-fused bounce kernel covers: Pallas on, hard visibility,
-    forward-only layout (no image-texture atlas — detected statically by
-    the dummy (1,1) atlas shape).  Everything else falls back."""
+    """The fully-fused bounce kernels cover: Pallas on, no image-texture
+    atlas (detected statically by the dummy (1,1) atlas shape), no ray
+    chunking.  Hard visibility uses the forward-only kernel; smooth uses
+    the fwd+bwd custom-VJP pair.  Everything else falls back."""
     atlas_dummy = scene.texture_atlas.shape[1] == 1 and scene.texture_atlas.shape[2] == 1
-    return cfg.use_pallas and cfg.visibility != VISIBILITY_SMOOTH and atlas_dummy and not cfg.ray_chunk
+    return cfg.use_pallas and atlas_dummy and not cfg.ray_chunk
 
 
 def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, key: jax.Array | None) -> jax.Array:
@@ -450,6 +451,10 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     dirs = ray_directions(scene.camera, cfg.dtype, jitter)
     n = dirs.shape[0]
     if _can_fuse_bounce(scene, cfg) and key is None:
+        if cfg.visibility == VISIBILITY_SMOOTH:
+            from .ops.pallas_bounce_smooth import trace_fused_smooth
+
+            return trace_fused_smooth(scene.camera.position, dirs, scene, cfg)
         from .ops.pallas_bounce import trace_fused
 
         return trace_fused(scene.camera.position, dirs, scene, cfg)

@@ -1,0 +1,84 @@
+"""Fused smooth bounce: forward parity + handwritten-adjoint gradient parity.
+
+Everything runs in Pallas interpret mode on CPU against the XLA smooth
+path (`render` with use_pallas=False) and `jax.grad` of it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.models.scenes import inverse_task_scene, reference_scene
+from python_ray_tracer_tpu.optim import make_loss_fn, scene_to_params
+
+
+def _cfgs(**kw):
+    base = dict(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                edge_sharpness=20.0, shadow_sharpness=20.0)
+    base.update(kw)
+    cfg_x = RenderConfig(**base)
+    cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+    return cfg_x, cfg_p
+
+
+def test_forward_parity_reference_scene():
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    cfg_x, cfg_p = _cfgs(max_depth=3)
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_forward_parity_many_spheres():
+    scene = inverse_task_scene(n_spheres=64, width=64, height=36)
+    cfg_x, cfg_p = _cfgs()
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    diff = np.abs(b - a)
+    # Near-tie winner decisions may flip on isolated boundary pixels
+    # (two float paths); everything else matches tightly.
+    assert np.quantile(diff, 0.999) < 2e-4
+    assert diff.max() < 0.05
+    assert (diff > 1e-3).mean() < 1e-3
+
+
+@pytest.mark.parametrize("scene_fn,wh", [(reference_scene, (64, 36)), (inverse_task_scene, None)])
+def test_gradient_parity(scene_fn, wh):
+    """Handwritten adjoint == jax.grad of the XLA smooth path, for every
+    scene-parameter leaf."""
+    if wh is not None:
+        scene = scene_fn(wh[0], wh[1], dtype=jnp.float32)
+    else:
+        scene = scene_fn(n_spheres=16, width=48, height=27)
+    cfg_x, cfg_p = _cfgs()
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0)
+    params = scene_to_params(scene)
+
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
+def test_training_descends_through_fused_kernels():
+    import optax
+
+    from python_ray_tracer_tpu.optim.train import init_state, make_train_step
+
+    scene = reference_scene(48, 27, dtype=jnp.float32)
+    _, cfg_p = _cfgs()
+    target = jnp.clip(render(scene, cfg_p), 0.0, 1.0)
+    params = scene_to_params(scene, sphere_fields=("specular_gain",), light_fields=(), camera=False)
+    params["spheres.specular_gain"] = params["spheres.specular_gain"].at[1].add(0.3)
+    optimizer = optax.adam(2e-2)
+    step = make_train_step(make_loss_fn(scene, target, cfg_p), optimizer)
+    state = init_state(params, optimizer)
+    losses = []
+    for _ in range(20):
+        state, loss = step(state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, f"{losses[0]} -> {losses[-1]}"
