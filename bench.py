@@ -46,7 +46,7 @@ def main() -> None:
 
     # use_pallas routes through the fused fwd+bwd bounce kernels (custom
     # VJP) — the whole training step is a handful of kernel launches.
-    cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, visibility="smooth", use_pallas=True)
+    cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, visibility="smooth", use_pallas=True, block_rays=2048)
     scene = reference_scene(W, H, dtype=jnp.float32)
     target = jnp.clip(render(scene, RenderConfig(max_depth=DEPTH, dtype=jnp.float32)), 0.0, 1.0)
 

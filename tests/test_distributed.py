@@ -1,0 +1,50 @@
+"""Multi-host (multi-process) rendering via jax.distributed CPU loopback.
+
+SURVEY §4's recipe for testing the pod path without a pod: two local
+processes, a loopback coordinator, 2 virtual CPU devices each — the
+4-device global mesh shards rays ACROSS process boundaries, and the final
+image crosses hosts through process_allgather (parallel/distributed.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_ray_tracer_tpu import RenderConfig, render
+from python_ray_tracer_tpu.models.scenes import reference_scene
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_loopback_render(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    out = tmp_path / "img.npy"
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "distributed_worker.py"), str(i), "2", coord, str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-2000:]
+    assert out.exists()
+
+    got = np.load(out)
+    expected = np.asarray(render(reference_scene(64, 36, dtype=jnp.float32), RenderConfig(max_depth=2, dtype=jnp.float32)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
