@@ -736,8 +736,14 @@ def _acc_spec(shape):
     return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
 
+def _sds(shape, dtype, vma):
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
 def _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts):
-    (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret) = params
+    (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret, vma) = params
     n_pad = d_t.shape[1]
     lane, vec, full = _specs(block_rays)
     kernel = functools.partial(
@@ -751,18 +757,18 @@ def _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, con
         in_specs=[vec, vec, lane, lane, vec, full, full, full, full, full, full],
         out_specs=(vec, vec, lane, lane, vec),
         out_shape=(
-            jax.ShapeDtypeStruct((3, n_pad), dtype),
-            jax.ShapeDtypeStruct((3, n_pad), dtype),
-            jax.ShapeDtypeStruct((1, n_pad), dtype),
-            jax.ShapeDtypeStruct((1, n_pad), dtype),
-            jax.ShapeDtypeStruct((3, n_pad), dtype),
+            _sds((3, n_pad), dtype, vma),
+            _sds((3, n_pad), dtype, vma),
+            _sds((1, n_pad), dtype, vma),
+            _sds((1, n_pad), dtype, vma),
+            _sds((3, n_pad), dtype, vma),
         ),
         interpret=interpret,
     )(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
 
 
 def _bounce_bwd_call(params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc):
-    (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret) = params
+    (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret, vma) = params
     n_pad = d_t.shape[1]
     lane, vec, full = _specs(block_rays)
     kernel = functools.partial(
@@ -785,16 +791,16 @@ def _bounce_bwd_call(params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, 
             _acc_spec(mat.shape), _acc_spec(consts.shape),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((3, n_pad), dtype),
-            jax.ShapeDtypeStruct((3, n_pad), dtype),
-            jax.ShapeDtypeStruct((1, n_pad), dtype),
-            jax.ShapeDtypeStruct((1, n_pad), dtype),
-            jax.ShapeDtypeStruct(cc.shape, dtype),
-            jax.ShapeDtypeStruct(rc.shape, dtype),
-            jax.ShapeDtypeStruct(ce.shape, dtype),
-            jax.ShapeDtypeStruct(re.shape, dtype),
-            jax.ShapeDtypeStruct(mat.shape, dtype),
-            jax.ShapeDtypeStruct(consts.shape, dtype),
+            _sds((3, n_pad), dtype, vma),
+            _sds((3, n_pad), dtype, vma),
+            _sds((1, n_pad), dtype, vma),
+            _sds((1, n_pad), dtype, vma),
+            _sds(cc.shape, dtype, vma),
+            _sds(rc.shape, dtype, vma),
+            _sds(ce.shape, dtype, vma),
+            _sds(re.shape, dtype, vma),
+            _sds(mat.shape, dtype, vma),
+            _sds(consts.shape, dtype, vma),
         ),
         interpret=interpret,
     )(o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc)
@@ -828,6 +834,7 @@ def trace_fused_smooth(
     direction: jax.Array,  # (N, 3) unit
     scene: Scene,
     cfg,  # RenderConfig
+    vma: frozenset | None = None,  # varying mesh axes when inside shard_map
 ) -> jax.Array:
     """Smooth-visibility trace via the fused fwd/bwd bounce kernels."""
     dtype = cfg.dtype
@@ -851,6 +858,7 @@ def trace_fused_smooth(
         cfg.faraway, bs_cheap, bs_exact, s_cheap,
         float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
         cfg.block_rays, cfg.pallas_interpret,
+        frozenset(vma) if vma else None,
     )
 
     def bounce(carry, _):
@@ -864,5 +872,17 @@ def trace_fused_smooth(
         jnp.ones((1, n_pad), dtype),
         jnp.zeros((3, n_pad), dtype),
     )
+    if vma:
+        # Inside shard_map the kernel outputs are varying over the ray
+        # axis; mark the scan init AND the (replicated) tables likewise so
+        # every kernel operand agrees.  The transpose of pcast-to-varying
+        # is a psum over the axis — exactly the cross-shard reduction the
+        # table gradients need.
+        def to_varying(x):
+            missing = tuple(a for a in vma if a not in getattr(jax.typeof(x), "vma", frozenset()))
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        init = jax.tree_util.tree_map(to_varying, init)
+        cc, rc, ce, re, mat, consts = (to_varying(x) for x in (cc, rc, ce, re, mat, consts))
     (_, _, _, _, acc), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
     return acc.T[:n]

@@ -311,9 +311,21 @@ def trace(
     if sweep_radius is None:
         sweep_radius = scene.spheres.radius
     smooth = cfg.visibility == VISIBILITY_SMOOTH
-    # The fused Pallas kernels cover the hard-visibility single-shard sweep
-    # (smooth mode needs all-sphere tables; sphere sharding needs the
-    # collective combines).
+    atlas_dummy = scene.texture_atlas.shape[1] == 1 and scene.texture_atlas.shape[2] == 1
+    interp_sharded = cfg.pallas_interpret and ray_axis is not None
+    if smooth and cfg.use_pallas and sphere_axis is None and key is None and atlas_dummy and not interp_sharded:
+        # Fully-fused fwd+bwd smooth bounce (custom VJP); works inside
+        # shard_map via vma on the kernel outputs.  (Interpret mode inside
+        # shard_map trips the interpreter's own VMA handling — that
+        # configuration falls back to the XLA path below; the compiled
+        # kernels are exercised on hardware.)
+        from .ops.pallas_bounce_smooth import trace_fused_smooth
+
+        return trace_fused_smooth(
+            origin, direction, scene, cfg, vma={ray_axis} if ray_axis is not None else None
+        )
+    # The fused hard-visibility kernels cover the single-shard sweep
+    # (sphere sharding needs the collective combines).
     fused = cfg.use_pallas and not smooth and sphere_axis is None
     if fused:
         from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas
