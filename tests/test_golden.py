@@ -81,3 +81,46 @@ def test_no_ties_in_golden_scene(reference_modules):
     hit = t.min(axis=1) < faraway(jnp.float64)
     n_at_min = (t == t.min(axis=1, keepdims=True)).sum(axis=1)
     assert (n_at_min[hit] == 1).all()
+
+
+def test_multi_dome_light_quirk_matches_live_reference(reference_modules):
+    """Two dome lights: intensities accumulate but only the LAST dome's
+    color scales the sum (ref shader.py:234-244 quirk) — cross-checked
+    against the live upstream code."""
+    mods = reference_modules
+    base, shape, shader, domain = mods["base"], mods["shape"], mods["shader"], mods["domain"]
+    V, RGB = base.NumpyVector3D, base.NumpyRGBColor
+    w, h = 96, 54
+    ref_scene = domain.Scene3D(
+        [
+            shape.NumpySphere(
+                V(0.0, 0.0, 3), 1.0,
+                shader.NumpyShader(0.0, 0.2, 0.3, 0.0, 0.8, shader.Texture(RGB(0.9, 0.4, 0.2))),
+            ),
+        ],
+        [
+            domain.PointLight(V(-2, 1, 2)),
+            domain.DomeLight(0.2, RGB(1.0, 0.0, 0.0)),
+            domain.DomeLight(0.3, RGB(0.2, 0.5, 1.0)),  # last color wins
+        ],
+        domain.Camera(V(0, 0.2, -2), w, h),
+    )
+    from .oracle import reference_render
+
+    ref = reference_render(mods, ref_scene)
+
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene, make_sphere_row
+
+    rows = [
+        make_sphere_row(
+            (0.0, 0.0, 3.0), 1.0, specular_gain=0.2, specular_roughness=0.3,
+            diffuse_gain=0.8, diffuse_color=(0.9, 0.4, 0.2),
+        )
+    ]
+    scene = make_scene(
+        build_spheres(rows, dtype=jnp.float64),
+        build_lights((-2.0, 1.0, 2.0), domes=[(0.2, (1.0, 0.0, 0.0)), (0.3, (0.2, 0.5, 1.0))], dtype=jnp.float64),
+        (0.0, 0.2, -2.0), w, h, dtype=jnp.float64,
+    )
+    ours = np.asarray(jax.jit(render, static_argnums=1)(scene, RenderConfig(max_depth=6, dtype=jnp.float64)))
+    np.testing.assert_array_equal(to_uint8(ours), to_uint8(ref))
