@@ -1,7 +1,15 @@
 """Inverse rendering: parameter partitioning, losses, Adam training."""
 
 from .params import LIGHT_PARAM_FIELDS, SPHERE_PARAM_FIELDS, Params, combine, scene_to_params
-from .train import TrainState, fit, init_state, l2_image_loss, make_loss_fn, make_train_step
+from .train import (
+    TrainState,
+    fit,
+    init_state,
+    l2_image_loss,
+    make_loss_fn,
+    make_train_step,
+    masked_updates,
+)
 
 __all__ = [
     "LIGHT_PARAM_FIELDS",
@@ -15,4 +23,5 @@ __all__ = [
     "l2_image_loss",
     "make_loss_fn",
     "make_train_step",
+    "masked_updates",
 ]

@@ -59,6 +59,25 @@ def make_loss_fn(
     return loss_fn
 
 
+def masked_updates(masks: Params) -> optax.GradientTransformation:
+    """Element-wise update masks (freeze parts of parameter arrays).
+
+    ``masks`` has the params' structure with 0/1 arrays (or scalars)
+    broadcastable to each leaf — e.g. optimize one sphere's row while the
+    rest of the table stays put.  Chain after the optimizer:
+    ``optax.chain(optax.adam(lr), masked_updates(masks))``.
+    """
+
+    def init(_):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u, m: u * m, updates, masks), state
+
+    return optax.GradientTransformation(init, update)
+
+
 class TrainState(NamedTuple):
     params: Params
     opt_state: Any
@@ -94,13 +113,18 @@ def fit(
     steps: int = 100,
     learning_rate: float = 1e-2,
     mesh: Mesh | None = None,
+    update_mask: Params | None = None,
     callback: Callable[[int, float], None] | None = None,
 ) -> tuple[Params, list[float]]:
     """Adam-optimize scene params against a target image.
 
-    Returns the final params and the per-step loss history.
+    ``update_mask`` (optional) freezes parameter elements where 0 — see
+    :func:`masked_updates`.  Returns the final params and the per-step
+    loss history.
     """
     optimizer = optax.adam(learning_rate)
+    if update_mask is not None:
+        optimizer = optax.chain(optimizer, masked_updates(update_mask))
     loss_fn = make_loss_fn(template, target, cfg, mesh)
     step_fn = make_train_step(loss_fn, optimizer)
     state = init_state(params, optimizer)

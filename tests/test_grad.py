@@ -204,3 +204,32 @@ def test_sharded_grads_match_single():
         np.testing.assert_allclose(
             np.asarray(g2[key]), np.asarray(g1[key]), rtol=1e-3, atol=1e-5, err_msg=key
         )
+
+
+def test_masked_updates_freezes_parameters():
+    """Element-wise update masks: frozen rows stay bitwise unchanged while
+    the unmasked row trains (the knob the inverse-rendering demo uses to
+    keep the ground sphere still)."""
+    import optax
+
+    from python_ray_tracer_tpu.optim import masked_updates
+    from python_ray_tracer_tpu.optim.train import init_state, make_train_step
+
+    scene = reference_scene(48, 27, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                       edge_sharpness=20.0, shadow_sharpness=20.0)
+    target = jnp.clip(render(scene, cfg), 0.0, 1.0)
+    params = scene_to_params(scene, sphere_fields=("center",), light_fields=(), camera=False)
+    params["spheres.center"] = params["spheres.center"].at[1, 0].add(0.1)
+
+    row = jnp.zeros((3,)).at[1].set(1.0)
+    optimizer = optax.chain(optax.adam(5e-3), masked_updates({"spheres.center": row[:, None]}))
+    step = make_train_step(make_loss_fn(scene, target, cfg), optimizer)
+    state = init_state(params, optimizer)
+    before = np.asarray(params["spheres.center"])
+    for _ in range(5):
+        state, loss = step(state)
+    after = np.asarray(state.params["spheres.center"])
+    np.testing.assert_array_equal(after[0], before[0])  # frozen
+    np.testing.assert_array_equal(after[2], before[2])  # frozen
+    assert np.abs(after[1] - before[1]).max() > 0  # trained
