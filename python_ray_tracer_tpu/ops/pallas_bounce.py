@@ -39,9 +39,62 @@ from .pallas_intersect import (
 )
 from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 
-# Material-table column layout (all float32; kind stored as 0.0/1.0 exactly).
-_COLS = 16
-(_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND) = range(_COLS)
+# Material-table column layout (all float32; kind/texture-id stored as
+# small exact floats).
+_COLS = 17
+(_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND, _TID) = range(_COLS)
+
+# Largest flattened atlas the fused kernels sample in-kernel (texel table
+# + one-hot blocks stay comfortably in VMEM); bigger atlases fall back to
+# the XLA path.
+MAX_FUSED_TEXELS = 1 << 15
+
+
+def _atan_coeffs():
+    """Odd-polynomial coefficients for atan(x)/x on [0, 1] (|err| < 1e-7).
+
+    Mosaic has no atan/atan2 lowering; a degree-10 (in x^2) least-squares
+    fit on a dense Chebyshev-spaced grid is plenty for nearest-texel UV.
+    """
+    import numpy as np
+
+    k = np.arange(4096)
+    x = np.cos((2 * k + 1) / (2 * 4096) * np.pi / 2)  # dense on (0, 1]
+    y = np.arctan(x) / x
+    v = np.vander(x * x, 11, increasing=True)
+    c, *_ = np.linalg.lstsq(v, y, rcond=None)
+    return tuple(float(ci) for ci in c)
+
+
+_ATAN_C = _atan_coeffs()
+
+
+def _atan_unit(x):
+    """atan(x) for x in [0, 1] via the polynomial."""
+    x2 = x * x
+    p = _ATAN_C[-1]
+    for c in _ATAN_C[-2::-1]:
+        p = p * x2 + c
+    return x * p
+
+
+def _atan2_poly(y, x):
+    """Full-quadrant atan2 from the [0,1] polynomial (octant reduction)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.maximum(jnp.where(swap, ay, ax), 1e-30)
+    a = _atan_unit(num / den)
+    a = jnp.where(swap, (jnp.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.pi - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def _asin_poly(y):
+    """asin(y) = atan2(y, sqrt(1 - y^2)) for y in [-1, 1]."""
+    y = jnp.clip(y, -1.0, 1.0)
+    return _atan2_poly(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
 
 # consts vector layout: camera(3), light(3), dome_color(3), dome_total(1)
 _NCONST = 16
@@ -103,9 +156,15 @@ def _shadow(o, d, self_idx, cc_ref, rc_ref, ce_ref, re_ref, faraway, bs_cheap, b
 def _bounce_kernel(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out,
-    *, faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
+    *refs_and_outs,
+    faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
+    tex_shape: tuple | None = None,  # (T, Ht, Wt) when sampling in-kernel
 ):
+    if tex_shape is not None:
+        tex_ref, o_out, d_out, thr_out, alive_out, acc_out = refs_and_outs
+    else:
+        tex_ref = None
+        o_out, d_out, thr_out, alive_out, acc_out = refs_and_outs
     dtype = rc_ref.dtype
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
@@ -160,6 +219,38 @@ def _bounce_kernel(
     checker = (cx == cz).astype(dtype)
     is_checker = m(_KIND) == 1.0
     tex = tuple(jnp.where(is_checker, checker, m(c)) for c in (_DCR, _DCG, _DCB))
+
+    if tex_ref is not None:
+        # Equirectangular image texture (shape.py:68-81): UV from the unit
+        # normal via the polynomial atan2/asin, nearest texel fetched with
+        # blocked one-hot matmuls against the flattened atlas in VMEM.
+        t_cnt, th, tw = tex_shape
+        u = 0.5 + _atan2_poly(normal[2], normal[0]) / (2.0 * jnp.pi)
+        v = 0.5 - _asin_poly(normal[1]) / jnp.pi
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+        ti = jnp.clip((u * (tw - 1)).astype(jnp.int32), 0, tw - 1)
+        tj = jnp.clip((v * (th - 1)).astype(jnp.int32), 0, th - 1)
+        flat = m(_TID).astype(jnp.int32) * (th * tw) + tj * tw + ti  # (1, B)
+        n_rows = tex_ref.shape[0]
+        tb = min(512, n_rows)
+        img = jnp.zeros((3, width), dtype)
+
+        def tex_body(k, img):
+            block = tex_ref[pl.ds(k * tb, tb), :]  # (TB, 3)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (tb, width), 0) + k * tb == flat
+            ).astype(dtype)
+            return img + jax.lax.dot_general(
+                block, onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        img = jax.lax.fori_loop(0, n_rows // tb, tex_body, img)
+        is_image = m(_KIND) == 2.0
+        tex = tuple(jnp.where(is_image, img[i : i + 1, :], tex[i]) for i in range(3))
 
     diffuse_w = n_dot_l * in_light * m(_DG)
 
@@ -224,7 +315,8 @@ def _bounce_kernel(
 
 
 def _material_table(scene: Scene, dtype) -> jax.Array:
-    """(S_pad, 16) float table in kernel column order (kind as 0.0/1.0)."""
+    """(S_pad, 17) float table in kernel column order (kind/texture id as
+    small exact floats)."""
     sp = scene.spheres
     cols = [
         sp.center[:, 0], sp.center[:, 1], sp.center[:, 2], sp.radius,
@@ -232,6 +324,7 @@ def _material_table(scene: Scene, dtype) -> jax.Array:
         sp.specular_gain, sp.specular_roughness, sp.iridescence_gain, sp.specular_ior,
         sp.thin_film_weight, sp.thin_film_thickness, sp.thin_film_ior,
         sp.texture_kind.astype(dtype),
+        sp.texture_id.astype(dtype),
     ]
     table = jnp.stack([jnp.asarray(c, dtype) for c in cols], axis=1)  # (S, 16)
     s_pad = _round_up(table.shape[0], 8)
@@ -268,12 +361,30 @@ def trace_fused(
     consts = consts.at[0, 6:9].set(jnp.asarray(scene.lights.dome_color[-1], dtype))
     consts = consts.at[0, 9].set(jnp.sum(jnp.asarray(scene.lights.dome_intensity, dtype)))
 
+    # Flattened texel table for in-kernel equirect sampling (real atlases
+    # only; callers gate on MAX_FUSED_TEXELS).
+    atlas = scene.texture_atlas
+    has_tex = atlas.shape[1] > 1 or atlas.shape[2] > 1
+    tex_shape = None
+    tex_args = ()
+    tex_specs = []
+    if has_tex:
+        t_cnt, th, tw = atlas.shape[0], atlas.shape[1], atlas.shape[2]
+        tex_shape = (t_cnt, th, tw)
+        texels = jnp.asarray(atlas, dtype).reshape(t_cnt * th * tw, 3)
+        rows = _round_up(texels.shape[0], 512)
+        if rows != texels.shape[0]:
+            texels = jnp.concatenate([texels, jnp.zeros((rows - texels.shape[0], 3), dtype)], axis=0)
+        tex_args = (texels,)
+        tex_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+
     kernel = functools.partial(
         _bounce_kernel,
         faraway=cfg.faraway,
         bs_cheap=bs_cheap,
         bs_exact=bs_exact,
         exact_base=s_cheap,
+        tex_shape=tex_shape,
     )
     block = cfg.block_rays
     lane_spec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -282,7 +393,8 @@ def trace_fused(
     bounce_call = pl.pallas_call(
         kernel,
         grid=(n_pad // block,),
-        in_specs=[vec_spec, vec_spec, lane_spec, lane_spec, vec_spec, full, full, full, full, full, full],
+        in_specs=[vec_spec, vec_spec, lane_spec, lane_spec, vec_spec, full, full, full, full, full, full]
+        + tex_specs,
         out_specs=(vec_spec, vec_spec, lane_spec, lane_spec, vec_spec),
         out_shape=(
             jax.ShapeDtypeStruct((3, n_pad), dtype),
@@ -296,7 +408,7 @@ def trace_fused(
 
     def bounce(carry, _):
         o_t, d_t, thr, alive, acc = carry
-        return bounce_call(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts), None
+        return bounce_call(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts, *tex_args), None
 
     init = (
         o.T,

@@ -445,12 +445,20 @@ def trace(
 
 
 def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
-    """The fully-fused bounce kernels cover: Pallas on, no image-texture
-    atlas (detected statically by the dummy (1,1) atlas shape), no ray
-    chunking.  Hard visibility uses the forward-only kernel; smooth uses
-    the fwd+bwd custom-VJP pair.  Everything else falls back."""
-    atlas_dummy = scene.texture_atlas.shape[1] == 1 and scene.texture_atlas.shape[2] == 1
-    return cfg.use_pallas and atlas_dummy and not cfg.ray_chunk
+    """The fully-fused bounce kernels cover: Pallas on, no ray chunking.
+    Hard visibility uses the forward-only kernel (which samples image
+    atlases in-kernel up to MAX_FUSED_TEXELS); smooth uses the fwd+bwd
+    custom-VJP pair (const/checker textures only).  Everything else falls
+    back to the XLA path."""
+    atlas = scene.texture_atlas
+    atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
+    if cfg.visibility == VISIBILITY_SMOOTH:
+        tex_ok = atlas_dummy
+    else:
+        from .ops.pallas_bounce import MAX_FUSED_TEXELS
+
+        tex_ok = atlas_dummy or atlas.shape[0] * atlas.shape[1] * atlas.shape[2] <= MAX_FUSED_TEXELS
+    return cfg.use_pallas and tex_ok and not cfg.ray_chunk
 
 
 def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, key: jax.Array | None) -> jax.Array:
