@@ -182,7 +182,7 @@ class _Fwd:
     Every intermediate is kept as an attribute so the adjoint can reuse it.
     """
 
-    def __init__(self, o, d, thr, alive, refs, params):
+    def __init__(self, o, d, thr, alive, refs, params, saved=None):
         (cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref) = refs
         (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s) = params
         dtype = rc_ref.dtype
@@ -197,9 +197,14 @@ class _Fwd:
             (ce_ref, re_ref, bs_exact, exact_base, _block_sol_disc_exact),
         ]
         self.regions = regions
-        tmin, imin, dmax, idmax = _select_loop(o, d, regions, faraway, width, dtype)
-        self.hit = tmin != jnp.asarray(faraway, dtype)
-        self.idx = jnp.where(self.hit, imin, idmax)
+        if saved is not None:
+            # The backward kernel replays the winner selection from values
+            # the forward kernel saved — skips one O(N*S) sweep.
+            self.idx, self.hit = saved
+        else:
+            tmin, imin, dmax, idmax = _select_loop(o, d, regions, faraway, width, dtype)
+            self.hit = tmin != jnp.asarray(faraway, dtype)
+            self.idx = jnp.where(self.hit, imin, idmax)
 
         mat, onehot = _gather_mat(mat_ref, self.idx, width, dtype)
         self.mat, self.onehot = mat, onehot
@@ -335,7 +340,7 @@ class _Fwd:
 def _fwd_kernel(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out,
+    o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out,
     *, params,
 ):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
@@ -347,6 +352,9 @@ def _fwd_kernel(
         d_out[i : i + 1, :] = f.refl[i]
     thr_out[:, :] = f.thr_out
     alive_out[:, :] = f.alive_out
+    # Winner selection, saved for the backward kernel (skips its sweep).
+    idx_out[:, :] = f.idx
+    hit_out[:, :] = f.hit.astype(f.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -404,7 +412,7 @@ def _sol_disc_adjoint(b, ct, g_sol, g_disc):
 
 def _bwd_kernel(
     # saved inputs
-    o_ref, d_ref, thr_ref, alive_ref,
+    o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref,
     cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref,
     # output cotangents
     go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref,
@@ -415,7 +423,11 @@ def _bwd_kernel(
 ):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
-    f = _Fwd(o, d, thr_ref[:, :], alive_ref[:, :], (cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref), params)
+    saved = (idx_ref[:, :], hit_ref[:, :] != 0)
+    f = _Fwd(
+        o, d, thr_ref[:, :], alive_ref[:, :],
+        (cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref), params, saved=saved,
+    )
     dtype = f.dtype
     m = f.m
     step = pl.program_id(0)
@@ -755,19 +767,21 @@ def _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, con
         kernel,
         grid=(n_pad // block_rays,),
         in_specs=[vec, vec, lane, lane, vec, full, full, full, full, full, full],
-        out_specs=(vec, vec, lane, lane, vec),
+        out_specs=(vec, vec, lane, lane, vec, lane, lane),
         out_shape=(
             _sds((3, n_pad), dtype, vma),
             _sds((3, n_pad), dtype, vma),
             _sds((1, n_pad), dtype, vma),
             _sds((1, n_pad), dtype, vma),
             _sds((3, n_pad), dtype, vma),
+            _sds((1, n_pad), jnp.int32, vma),
+            _sds((1, n_pad), dtype, vma),
         ),
         interpret=interpret,
     )(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
 
 
-def _bounce_bwd_call(params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc):
+def _bounce_bwd_call(params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc):
     (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret, vma) = params
     n_pad = d_t.shape[1]
     lane, vec, full = _specs(block_rays)
@@ -780,7 +794,7 @@ def _bounce_bwd_call(params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, 
         kernel,
         grid=(n_pad // block_rays,),
         in_specs=[
-            vec, vec, lane, lane,  # saved inputs
+            vec, vec, lane, lane, lane, lane,  # saved inputs (+idx, hit)
             full, full, full, full, full, full,  # tables
             vec, vec, lane, lane, vec,  # cotangents
         ],
@@ -803,24 +817,24 @@ def _bounce_bwd_call(params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, 
             _sds(consts.shape, dtype, vma),
         ),
         interpret=interpret,
-    )(o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc)
+    )(o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bounce(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts):
-    return _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
+    return _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)[:5]
 
 
 def _bounce_vjp_fwd(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts):
-    outs = _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
-    return outs, (o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts)
+    *outs, idx, hit = _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
+    return tuple(outs), (o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts)
 
 
 def _bounce_vjp_bwd(params, res, cots):
-    (o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts) = res
+    (o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts) = res
     (g_o, g_d, g_thr, g_alive, g_acc) = cots
     (go_in, gd_in, gthr_in, galive_in, gcc, grc, gce, gre, gmat, gconsts) = _bounce_bwd_call(
-        params, o_t, d_t, thr, alive, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc
+        params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc
     )
     # acc is a pure passthrough accumulator: g_acc_in = g_acc_out.
     return (go_in, gd_in, gthr_in, galive_in, g_acc, gcc, grc, gce, gre, gmat, gconsts)
