@@ -197,14 +197,17 @@ class _Fwd:
             (ce_ref, re_ref, bs_exact, exact_base, _block_sol_disc_exact),
         ]
         self.regions = regions
+        saved_clear = None
         if saved is not None:
-            # The backward kernel replays the winner selection from values
-            # the forward kernel saved — skips one O(N*S) sweep.
-            self.idx, self.hit = saved
+            # The backward kernel replays the winner selection and shadow
+            # product from values the forward kernel saved — skips two of
+            # the three O(N*S) sweeps.
+            self.idx, self.hit, saved_clear = saved
         else:
             tmin, imin, dmax, idmax = _select_loop(o, d, regions, faraway, width, dtype)
             self.hit = tmin != jnp.asarray(faraway, dtype)
             self.idx = jnp.where(self.hit, imin, idmax)
+        self._saved_clear = saved_clear
 
         mat, onehot = _gather_mat(mat_ref, self.idx, width, dtype)
         self.mat, self.onehot = mat, onehot
@@ -248,17 +251,20 @@ class _Fwd:
         self.p_n = tuple(self.p[i] + self.normal[i] * NUDGE for i in range(3))
 
         # shadow: running product over all spheres != winner
-        clear = jnp.ones((1, width), dtype)
-        for c_ref, r_ref, bs, base, block_fn in regions:
-            def sbody(k, clear, c_ref=c_ref, r_ref=r_ref, bs=bs, base=base, block_fn=block_fn):
-                c, r = _sphere_block(c_ref, r_ref, k * bs, bs)
-                sol, disc, _, _, _ = block_fn(self.p_n, self.L, c, r, faraway)
-                occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
-                sidx = jax.lax.broadcasted_iota(jnp.int32, sol.shape, 0) + (k * bs + base)
-                fac = jnp.where(sidx == self.idx, jnp.ones_like(occl), 1.0 - occl)
-                return clear * _prod_rows(fac)
+        if self._saved_clear is not None:
+            clear = self._saved_clear
+        else:
+            clear = jnp.ones((1, width), dtype)
+            for c_ref, r_ref, bs, base, block_fn in regions:
+                def sbody(k, clear, c_ref=c_ref, r_ref=r_ref, bs=bs, base=base, block_fn=block_fn):
+                    c, r = _sphere_block(c_ref, r_ref, k * bs, bs)
+                    sol, disc, _, _, _ = block_fn(self.p_n, self.L, c, r, faraway)
+                    occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
+                    sidx = jax.lax.broadcasted_iota(jnp.int32, sol.shape, 0) + (k * bs + base)
+                    fac = jnp.where(sidx == self.idx, jnp.ones_like(occl), 1.0 - occl)
+                    return clear * _prod_rows(fac)
 
-            clear = jax.lax.fori_loop(0, c_ref.shape[0] // bs, sbody, clear)
+                clear = jax.lax.fori_loop(0, c_ref.shape[0] // bs, sbody, clear)
         self.clear = clear
 
         # shading
@@ -340,7 +346,7 @@ class _Fwd:
 def _fwd_kernel(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out,
+    o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out, clear_out,
     *, params,
 ):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
@@ -355,6 +361,7 @@ def _fwd_kernel(
     # Winner selection, saved for the backward kernel (skips its sweep).
     idx_out[:, :] = f.idx
     hit_out[:, :] = f.hit.astype(f.dtype)
+    clear_out[:, :] = f.clear
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +419,7 @@ def _sol_disc_adjoint(b, ct, g_sol, g_disc):
 
 def _bwd_kernel(
     # saved inputs
-    o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref,
+    o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
     cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref,
     # output cotangents
     go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref,
@@ -423,7 +430,7 @@ def _bwd_kernel(
 ):
     o = (o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :])
     d = (d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :])
-    saved = (idx_ref[:, :], hit_ref[:, :] != 0)
+    saved = (idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :])
     f = _Fwd(
         o, d, thr_ref[:, :], alive_ref[:, :],
         (cc_ref, rc_ref, ce_ref, re_ref, mat_ref, const_ref), params, saved=saved,
@@ -767,7 +774,7 @@ def _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, con
         kernel,
         grid=(n_pad // block_rays,),
         in_specs=[vec, vec, lane, lane, vec, full, full, full, full, full, full],
-        out_specs=(vec, vec, lane, lane, vec, lane, lane),
+        out_specs=(vec, vec, lane, lane, vec, lane, lane, lane),
         out_shape=(
             _sds((3, n_pad), dtype, vma),
             _sds((3, n_pad), dtype, vma),
@@ -776,12 +783,13 @@ def _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, con
             _sds((3, n_pad), dtype, vma),
             _sds((1, n_pad), jnp.int32, vma),
             _sds((1, n_pad), dtype, vma),
+            _sds((1, n_pad), dtype, vma),
         ),
         interpret=interpret,
     )(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
 
 
-def _bounce_bwd_call(params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc):
+def _bounce_bwd_call(params, o_t, d_t, thr, alive, idx, hit, clear, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc):
     (faraway, bs_cheap, bs_exact, exact_base, sharp_e, sharp_s, block_rays, interpret, vma) = params
     n_pad = d_t.shape[1]
     lane, vec, full = _specs(block_rays)
@@ -794,7 +802,7 @@ def _bounce_bwd_call(params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat
         kernel,
         grid=(n_pad // block_rays,),
         in_specs=[
-            vec, vec, lane, lane, lane, lane,  # saved inputs (+idx, hit)
+            vec, vec, lane, lane, lane, lane, lane,  # saved inputs (+idx, hit, clear)
             full, full, full, full, full, full,  # tables
             vec, vec, lane, lane, vec,  # cotangents
         ],
@@ -817,7 +825,7 @@ def _bounce_bwd_call(params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat
             _sds(consts.shape, dtype, vma),
         ),
         interpret=interpret,
-    )(o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc)
+    )(o_t, d_t, thr, alive, idx, hit, clear, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -826,15 +834,15 @@ def _bounce(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts):
 
 
 def _bounce_vjp_fwd(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts):
-    *outs, idx, hit = _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
-    return tuple(outs), (o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts)
+    *outs, idx, hit, clear = _bounce_fwd_call(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts)
+    return tuple(outs), (o_t, d_t, thr, alive, idx, hit, clear, cc, rc, ce, re, mat, consts)
 
 
 def _bounce_vjp_bwd(params, res, cots):
-    (o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts) = res
+    (o_t, d_t, thr, alive, idx, hit, clear, cc, rc, ce, re, mat, consts) = res
     (g_o, g_d, g_thr, g_alive, g_acc) = cots
     (go_in, gd_in, gthr_in, galive_in, gcc, grc, gce, gre, gmat, gconsts) = _bounce_bwd_call(
-        params, o_t, d_t, thr, alive, idx, hit, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc
+        params, o_t, d_t, thr, alive, idx, hit, clear, cc, rc, ce, re, mat, consts, g_o, g_d, g_thr, g_alive, g_acc
     )
     # acc is a pure passthrough accumulator: g_acc_in = g_acc_out.
     return (go_in, gd_in, gthr_in, galive_in, g_acc, gcc, grc, gce, gre, gmat, gconsts)
