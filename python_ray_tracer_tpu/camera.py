@@ -50,6 +50,24 @@ def pixel_pitch(width: int, height: int) -> tuple[float, float]:
     return dx, dy
 
 
+def ray_directions_t(camera: Camera, dtype: Any, jitter_t: jax.Array | None = None) -> jax.Array:
+    """(3, H*W) unit ray directions — lane-major for the fused kernels.
+
+    Same math as :func:`ray_directions`, but the component axis leads so
+    the Pallas paths consume it without a 6 MB relayout per frame.
+    ``jitter_t`` is an optional (2, H*W) subpixel offset in pixel units.
+    """
+    grid = pixel_grid(camera.width, camera.height, dtype).T  # (3, N)
+    if jitter_t is not None:
+        dx, dy = pixel_pitch(camera.width, camera.height)
+        pitch = jnp.asarray([dx, -dy], dtype)
+        grid = grid.at[0:2, :].add(jitter_t * pitch[:, None])
+    v = grid - jnp.asarray(camera.position, dtype=dtype)[:, None]
+    mag = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    inv = 1.0 / jnp.where(mag == 0, jnp.ones_like(mag), mag)
+    return v * inv[None, :]
+
+
 def ray_directions(camera: Camera, dtype: Any, jitter: jax.Array | None = None) -> jax.Array:
     """(H*W, 3) unit ray directions from the camera through the pixel grid.
 

@@ -337,18 +337,45 @@ def _material_table(scene: Scene, dtype) -> jax.Array:
     return table
 
 
-def trace_fused(
-    origin: jax.Array,  # (N, 3) or (3,)
-    direction: jax.Array,  # (N, 3) unit
-    scene: Scene,
-    cfg,  # RenderConfig
-) -> jax.Array:
-    """Hard-visibility trace via the fused bounce kernel; (N, 3) colors."""
+def _pad_rays_t(o_t: jax.Array, d_t: jax.Array, block: int) -> tuple[jax.Array, jax.Array, int]:
+    """Pad lane-major (3, N) ray arrays to a block multiple."""
+    n = d_t.shape[1]
+    n_pad = _round_up(n, block)
+    if n_pad != n:
+        extra = n_pad - n
+        o_t = jnp.concatenate([o_t, jnp.broadcast_to(o_t[:, :1], (3, extra))], axis=1)
+        d_t = jnp.concatenate([d_t, jnp.broadcast_to(d_t[:, :1], (3, extra))], axis=1)
+    return o_t, d_t, n
+
+
+def _ray_state_t(origin, direction, cfg, transposed: bool):
+    """Normalize entry rays to padded lane-major (3, N_pad) + count.
+
+    ``transposed=True`` means ``direction`` is already (3, N) — the
+    zero-relayout path used by :func:`..render.render`.
+    """
     dtype = cfg.dtype
+    if transposed:
+        d_t = jnp.asarray(direction, dtype)
+        o_t = jnp.broadcast_to(jnp.asarray(origin, dtype).reshape(3, -1), d_t.shape)
+        return _pad_rays_t(o_t, d_t, cfg.block_rays)
     direction = jnp.asarray(direction, dtype)
     origin = jnp.broadcast_to(jnp.asarray(origin, dtype), direction.shape)
     o, d, n = _pad_rays(origin, direction, cfg.block_rays)
-    n_pad = d.shape[0]
+    return o.T, d.T, n
+
+
+def trace_fused(
+    origin: jax.Array,  # (N, 3) or (3,)
+    direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
+    scene: Scene,
+    cfg,  # RenderConfig
+    transposed: bool = False,
+) -> jax.Array:
+    """Hard-visibility trace via the fused bounce kernel; (N, 3) colors."""
+    dtype = cfg.dtype
+    o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
+    n_pad = d_t.shape[1]
 
     cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(
         scene.spheres.center.astype(dtype), scene.spheres.radius.astype(dtype),
@@ -411,8 +438,8 @@ def trace_fused(
         return bounce_call(o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts, *tex_args), None
 
     init = (
-        o.T,
-        d.T,
+        o_t,
+        d_t,
         jnp.ones((1, n_pad), dtype),
         jnp.ones((1, n_pad), dtype),
         jnp.zeros((3, n_pad), dtype),

@@ -853,17 +853,18 @@ _bounce.defvjp(_bounce_vjp_fwd, _bounce_vjp_bwd)
 
 def trace_fused_smooth(
     origin: jax.Array,  # (N, 3) or (3,)
-    direction: jax.Array,  # (N, 3) unit
+    direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
     scene: Scene,
     cfg,  # RenderConfig
     vma: frozenset | None = None,  # varying mesh axes when inside shard_map
+    transposed: bool = False,
 ) -> jax.Array:
     """Smooth-visibility trace via the fused fwd/bwd bounce kernels."""
+    from .pallas_bounce import _ray_state_t
+
     dtype = cfg.dtype
-    direction = jnp.asarray(direction, dtype)
-    origin = jnp.broadcast_to(jnp.asarray(origin, dtype), direction.shape)
-    o, d, n = _pad_rays(origin, direction, cfg.block_rays)
-    n_pad = d.shape[0]
+    o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
+    n_pad = d_t.shape[1]
 
     cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(
         scene.spheres.center.astype(dtype), scene.spheres.radius.astype(dtype),
@@ -888,8 +889,8 @@ def trace_fused_smooth(
         return _bounce(params, o_t, d_t, thr, alive, acc, cc, rc, ce, re, mat, consts), None
 
     init = (
-        o.T,
-        d.T,
+        o_t,
+        d_t,
         jnp.ones((1, n_pad), dtype),
         jnp.ones((1, n_pad), dtype),
         jnp.zeros((3, n_pad), dtype),

@@ -468,16 +468,22 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     over ray tiles, bounding peak memory at O(chunk * spheres) — how huge
     frames x huge sphere counts fit on one chip without the Pallas path.
     """
-    dirs = ray_directions(scene.camera, cfg.dtype, jitter)
-    n = dirs.shape[0]
     if _can_fuse_bounce(scene, cfg) and key is None:
+        # Lane-major (3, N) rays end to end — no 6 MB relayout per frame
+        # (measured ~3 ms of fixed per-frame cost in the transposes).
+        from .camera import ray_directions_t
+
+        jitter_t = None if jitter is None else jitter.T
+        dirs_t = ray_directions_t(scene.camera, cfg.dtype, jitter_t)
         if cfg.visibility == VISIBILITY_SMOOTH:
             from .ops.pallas_bounce_smooth import trace_fused_smooth
 
-            return trace_fused_smooth(scene.camera.position, dirs, scene, cfg)
+            return trace_fused_smooth(scene.camera.position, dirs_t, scene, cfg, transposed=True)
         from .ops.pallas_bounce import trace_fused
 
-        return trace_fused(scene.camera.position, dirs, scene, cfg)
+        return trace_fused(scene.camera.position, dirs_t, scene, cfg, transposed=True)
+    dirs = ray_directions(scene.camera, cfg.dtype, jitter)
+    n = dirs.shape[0]
     if cfg.ray_chunk and n > cfg.ray_chunk:
         chunk = cfg.ray_chunk
         n_pad = -(-n // chunk) * chunk
