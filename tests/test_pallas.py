@@ -154,3 +154,20 @@ def test_image_texture_in_fused_kernel(tmp_path):
     # polynomial on isolated lanes; everything else matches tightly.
     assert np.quantile(diff, 0.999) < 1e-3
     assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_rays_inside_spheres_parity():
+    """Rays originating inside spheres (the reference picks the positive
+    t1 root, shape.py:44-48): fused kernel == XLA on hit decisions."""
+    rng = np.random.default_rng(11)
+    c, r = _random_spheres(9, seed=12)
+    # origins at sphere centers: always inside sphere k
+    o = jnp.asarray(np.asarray(c)[rng.integers(0, 9, 300)] + rng.normal(0, 0.05, (300, 3)), jnp.float32)
+    d = rng.normal(size=(300, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d, jnp.float32)
+    ref = nearest_hit(intersect_all_stable(o, d, c, r, FAR).t, FAR)
+    got = nearest_hit_pallas(o, d, c, r, FAR, block_rays=512, block_spheres=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), rtol=1e-4, atol=1e-5)
