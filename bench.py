@@ -33,7 +33,7 @@ import jax.numpy as jnp
 BASELINE_PRIMARY_RAYS_PER_S = 518_400 / 1.40  # BASELINE.md: 960x540 in 1.40 s
 
 W, H, DEPTH = 960, 540, 3
-STEPS = 20  # scanned on device per timed call
+STEPS = 50  # scanned on device per timed call — amortizes the ~35 ms tunnel dispatch latency
 
 
 def main() -> None:
