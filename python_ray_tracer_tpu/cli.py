@@ -149,7 +149,21 @@ def cmd_optimize(args) -> int:
         )
         return 2
 
-    params = scene_to_params(scene)
+    if args.train_fields:
+        wanted = {f.strip() for f in args.train_fields.split(",") if f.strip()}
+        sphere_fields = tuple(k.split(".", 1)[1] for k in wanted if k.startswith("spheres."))
+        light_fields = tuple(k.split(".", 1)[1] for k in wanted if k.startswith("lights."))
+        params = scene_to_params(
+            scene,
+            sphere_fields=sphere_fields,
+            light_fields=light_fields,
+            camera="camera.position" in wanted,
+        )
+        if not params:
+            print(f"error: no valid keys in --train-fields {args.train_fields!r}", file=sys.stderr)
+            return 2
+    else:
+        params = scene_to_params(scene)
     optimizer = optax.adam(args.lr)
     state = init_state(params, optimizer)
     if args.checkpoint and Path(args.checkpoint).exists():
@@ -193,6 +207,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target", type=str, required=True, help="target PNG")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument(
+        "--train-fields",
+        type=str,
+        help="comma-separated param keys to optimize (e.g. "
+        "'spheres.center,spheres.diffuse_color,lights.point_position'); "
+        "default: everything",
+    )
     p.add_argument("--checkpoint", type=str, help="checkpoint path (resume if exists)")
     p.add_argument("--checkpoint-every", type=int, default=25)
     p.set_defaults(fn=cmd_optimize)

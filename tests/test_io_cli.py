@@ -196,3 +196,36 @@ def test_all_effects_scene_and_main_module(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert load_png(out).shape == (27, 48, 3)
+
+
+def test_cli_optimize_train_fields(tmp_path):
+    """--train-fields restricts the optimized parameter groups."""
+    from python_ray_tracer_tpu.cli import main
+    from python_ray_tracer_tpu.models.scenes import reference_scene
+
+    target = tmp_path / "t.png"
+    scene = reference_scene(32, 18, dtype=jnp.float32)
+    save_png(
+        np.asarray(render(scene, RenderConfig(max_depth=1, dtype=jnp.float32, visibility="smooth"))),
+        target,
+    )
+    rc = main(
+        [
+            "optimize", "--builtin", "reference",
+            "--width", "32", "--height", "18", "--depth", "1",
+            "--visibility", "smooth", "--target", str(target),
+            "--steps", "2", "--lr", "1e-3",
+            "--train-fields", "spheres.specular_gain,lights.point_position",
+        ]
+    )
+    assert rc == 0
+    # invalid selection errors out cleanly
+    rc = main(
+        [
+            "optimize", "--builtin", "reference",
+            "--width", "32", "--height", "18", "--depth", "1",
+            "--visibility", "smooth", "--target", str(target),
+            "--steps", "1", "--train-fields", "nonsense",
+        ]
+    )
+    assert rc == 2
