@@ -1,0 +1,107 @@
+"""Headline benchmark: rays/sec/chip, forward+backward, 960x540 depth-3.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md, measured on the reference NumPy implementation,
+which is forward-only): full 960x540 render of the main.py scene in
+1.40 s = 3.7e5 primary rays/s.  We run a K-step Adam loop (render + L2
+pixel loss + gradients w.r.t. all scene parameters + update) at the same
+resolution with depth-3 reflections — strictly more work per ray than the
+baseline's forward-only pass — as ONE on-device lax.scan, so per-dispatch
+host latency (large on tunneled devices) does not pollute the number.
+vs_baseline is the speedup over the reference's forward-only primary
+rays/s.
+
+Lives in the package so ``python -m python_ray_tracer_tpu.cli bench``
+works from anywhere (ADVICE r1: the root ``bench.py`` now delegates here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+# Persistent compilation cache: tunnel-remote compiles of the fwd+bwd graph
+# take minutes; cache them across runs.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+BASELINE_PRIMARY_RAYS_PER_S = 518_400 / 1.40  # BASELINE.md: 960x540 in 1.40 s
+
+
+def main(
+    width: int = 960,
+    height: int = 540,
+    depth: int = 3,
+    steps: int = 50,
+    block_rays: int = 2048,
+) -> dict:
+    """Run the headline fwd+bwd benchmark and print/return its JSON record.
+
+    ``steps`` Adam iterations run as ONE on-device ``lax.scan`` per timed
+    call — amortizing the ~35 ms tunnel dispatch latency.
+    """
+    import optax
+
+    from .config import RenderConfig
+    from .models.scenes import reference_scene
+    from .optim import make_loss_fn, scene_to_params
+    from .render import render
+
+    # use_pallas routes through the fused fwd+bwd bounce kernels (custom
+    # VJP) — the whole training step is a handful of kernel launches.
+    cfg = RenderConfig(
+        max_depth=depth, dtype=jnp.float32, visibility="smooth", use_pallas=True, block_rays=block_rays
+    )
+    scene = reference_scene(width, height, dtype=jnp.float32)
+    target = jnp.clip(render(scene, RenderConfig(max_depth=depth, dtype=jnp.float32)), 0.0, 1.0)
+
+    params = scene_to_params(scene)
+    optimizer = optax.adam(1e-3)
+    loss_fn = make_loss_fn(scene, target, cfg)
+
+    @jax.jit
+    def run_steps(params, opt_state):
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), None, length=steps)
+        return params, opt_state, losses
+
+    import numpy as np
+
+    opt_state = optimizer.init(params)
+    params_w, opt_w, losses = run_steps(params, opt_state)  # compile + warm
+    float(np.asarray(losses[-1]))  # forced host fetch — guarantees completion
+
+    start = time.perf_counter()
+    _, _, losses2 = run_steps(params_w, opt_w)
+    float(np.asarray(losses2[-1]))
+    elapsed = (time.perf_counter() - start) / steps
+
+    rays_per_s = (width * height) / elapsed
+    record = {
+        "metric": f"fwd_bwd_primary_rays_per_s_{width}x{height}_depth{depth}",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_s / BASELINE_PRIMARY_RAYS_PER_S, 3),
+        "step_ms": round(elapsed * 1e3, 3),
+        "device": str(jax.devices()[0].platform),
+    }
+    print(json.dumps(record))  # noqa: T201
+    return record
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,7 @@ def _build(args) -> tuple:
     from .models import scenes as builtin
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[args.dtype]
+    extras = {}
     if args.settings:
         from .io import load_settings
 
@@ -84,7 +85,7 @@ def _build(args) -> tuple:
             scene = builtin.random_spheres_scene(width=width, height=height, dtype=cfg.dtype)
         else:
             scene = builtin.inverse_task_scene(width=width, height=height, dtype=cfg.dtype)
-    return scene, cfg
+    return scene, cfg, extras
 
 
 def cmd_render(args) -> int:
@@ -92,7 +93,7 @@ def cmd_render(args) -> int:
     from .utils.image import save_png
     from .utils.metrics import MetricsLogger, profile_trace, rays_per_second
 
-    scene, cfg = _build(args)
+    scene, cfg, extras = _build(args)
     metrics = MetricsLogger(args.metrics)
     fn = jax.jit(render, static_argnums=1)
 
@@ -104,12 +105,14 @@ def cmd_render(args) -> int:
         img = jax.block_until_ready(fn(scene, cfg))
         render_s = time.perf_counter() - t0
 
-    if getattr(args, "denoise", False):
+    # Settings-file keys apply when the CLI flag doesn't override them
+    # (documented schema: output_path / denoise, io/scene_json.py).
+    if getattr(args, "denoise", False) or extras.get("denoise", False):
         from .utils.denoise import nl_means_denoise
 
         img = nl_means_denoise(jnp.clip(img, 0.0, 1.0))
 
-    out = args.output or "render_out.png"
+    out = args.output or extras.get("output_path") or "render_out.png"
     save_png(np.asarray(img), out)
     n = scene.camera.width * scene.camera.height
     rec = metrics.log(
@@ -124,9 +127,15 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench as bench_mod  # repo-root bench.py is the canonical bench
+    from . import bench as bench_mod
 
-    bench_mod.main()
+    bench_mod.main(
+        width=args.width,
+        height=args.height,
+        depth=args.depth,
+        steps=args.steps,
+        block_rays=args.block_rays,
+    )
     return 0
 
 
@@ -139,7 +148,7 @@ def cmd_optimize(args) -> int:
 
     import optax
 
-    scene, cfg = _build(args)
+    scene, cfg, _extras = _build(args)
     target = jnp.asarray(np.asarray(load_png(args.target), np.float32) / 255.0, cfg.dtype)
     if target.shape[:2] != (scene.camera.height, scene.camera.width):
         print(  # noqa: T201
@@ -200,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--depth", type=int, default=3)
+    p.add_argument("--steps", type=int, default=50, help="Adam steps per timed on-device scan")
+    p.add_argument("--block-rays", type=int, default=2048, help="Pallas ray-tile size")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("optimize", help="inverse rendering against a target image")

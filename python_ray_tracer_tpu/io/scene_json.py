@@ -107,6 +107,7 @@ def load_scene(path: str | Path, *, width: int = 960, height: int = 540, dtype: 
         raise ValueError(f"{path}: scene needs a point light (the reference shades lights[0], shader.py:75)")
 
     atlas = None
+    atlas_hw = None
     if atlas_images:
         ht = max(a.shape[0] for a in atlas_images)
         wt = max(a.shape[1] for a in atlas_images)
@@ -114,10 +115,16 @@ def load_scene(path: str | Path, *, width: int = 960, height: int = 540, dtype: 
         for i, a in enumerate(atlas_images):
             padded[i, : a.shape[0], : a.shape[1], :] = a[..., :3]
         atlas = padded
+        # Native extents per texture: the samplers map UV over each
+        # texture's own (h, w), never the zero padding (ADVICE r1).
+        atlas_hw = np.asarray([[a.shape[0], a.shape[1]] for a in atlas_images], np.int32)
 
     spheres = build_spheres(rows, dtype=dtype)
     lights = build_lights(point_light, domes=domes, dtype=dtype)
-    return make_scene(spheres, lights, camera_position, width, height, texture_atlas=atlas, dtype=dtype)
+    return make_scene(
+        spheres, lights, camera_position, width, height,
+        texture_atlas=atlas, texture_hw=atlas_hw, dtype=dtype,
+    )
 
 
 def load_settings(path: str | Path) -> tuple[RenderConfig, dict[str, Any]]:

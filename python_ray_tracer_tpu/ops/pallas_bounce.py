@@ -39,10 +39,14 @@ from .pallas_intersect import (
 )
 from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 
-# Material-table column layout (all float32; kind/texture-id stored as
-# small exact floats).
-_COLS = 17
-(_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND, _TID) = range(_COLS)
+# Material-table column layout (all float32; kind/texture-id/extents stored
+# as small exact floats).  _TEXH/_TEXW are the sphere's texture's NATIVE
+# (h, w) — UV maps over them, not the padded atlas slot.
+_COLS = 19
+(
+    _CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR,
+    _TFW, _TFT, _TFI, _KIND, _TID, _TEXH, _TEXW,
+) = range(_COLS)
 
 # Largest flattened atlas the fused kernels sample in-kernel (texel table
 # + one-hot blocks stay comfortably in VMEM); bigger atlases fall back to
@@ -229,8 +233,11 @@ def _bounce_kernel(
         v = 0.5 - _asin_poly(normal[1]) / jnp.pi
         u = u - jnp.floor(u)
         v = v - jnp.floor(v)
-        ti = jnp.clip((u * (tw - 1)).astype(jnp.int32), 0, tw - 1)
-        tj = jnp.clip((v * (th - 1)).astype(jnp.int32), 0, th - 1)
+        # Per-lane native extents (exact small floats in the material row).
+        th_l = m(_TEXH)
+        tw_l = m(_TEXW)
+        ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, (tw_l - 1.0).astype(jnp.int32))
+        tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, (th_l - 1.0).astype(jnp.int32))
         flat = m(_TID).astype(jnp.int32) * (th * tw) + tj * tw + ti  # (1, B)
         n_rows = tex_ref.shape[0]
         tb = min(512, n_rows)
@@ -315,9 +322,10 @@ def _bounce_kernel(
 
 
 def _material_table(scene: Scene, dtype) -> jax.Array:
-    """(S_pad, 17) float table in kernel column order (kind/texture id as
-    small exact floats)."""
+    """(S_pad, 19) float table in kernel column order (kind/texture id and
+    native texture extents as small exact floats)."""
     sp = scene.spheres
+    hw = jnp.take(scene.texture_hw, sp.texture_id, axis=0)  # (S, 2) int32
     cols = [
         sp.center[:, 0], sp.center[:, 1], sp.center[:, 2], sp.radius,
         sp.diffuse_gain, sp.diffuse_color[:, 0], sp.diffuse_color[:, 1], sp.diffuse_color[:, 2],
@@ -325,8 +333,10 @@ def _material_table(scene: Scene, dtype) -> jax.Array:
         sp.thin_film_weight, sp.thin_film_thickness, sp.thin_film_ior,
         sp.texture_kind.astype(dtype),
         sp.texture_id.astype(dtype),
+        hw[:, 0].astype(dtype),
+        hw[:, 1].astype(dtype),
     ]
-    table = jnp.stack([jnp.asarray(c, dtype) for c in cols], axis=1)  # (S, 16)
+    table = jnp.stack([jnp.asarray(c, dtype) for c in cols], axis=1)  # (S, _COLS)
     s_pad = _round_up(table.shape[0], 8)
     if s_pad != table.shape[0]:
         pad = jnp.zeros((s_pad - table.shape[0], _COLS), dtype)

@@ -136,15 +136,18 @@ def texture_color(point: jax.Array, normal: jax.Array, mat: LaneMaterial, scene:
     checker_c = jnp.where((cx == cz)[..., None], jnp.ones((), dtype), jnp.zeros((), dtype))
 
     # Equirectangular image texture (shape.py:68-81): UV from the unit
-    # normal; nearest-texel gather from the atlas.
+    # normal; nearest-texel gather from the atlas.  UV scales by each
+    # texture's NATIVE (h, w) so padded atlas slots never sample padding.
     ny = jnp.clip(normal[..., 1], -1.0, 1.0)  # guard asin on dead lanes
     u = 0.5 + jnp.arctan2(normal[..., 2], normal[..., 0]) / (2.0 * jnp.pi)
     v = 0.5 - jnp.arcsin(ny) / jnp.pi
     u = u % 1.0
     v = v % 1.0
-    th, tw = scene.texture_atlas.shape[1], scene.texture_atlas.shape[2]
-    ti = jnp.clip((u * (tw - 1)).astype(jnp.int32), 0, tw - 1)
-    tj = jnp.clip((v * (th - 1)).astype(jnp.int32), 0, th - 1)
+    hw = jnp.take(scene.texture_hw, mat.texture_id, axis=0)  # (N, 2) int32
+    th_l = hw[..., 0].astype(dtype)
+    tw_l = hw[..., 1].astype(dtype)
+    ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, hw[..., 1] - 1)
+    tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, hw[..., 0] - 1)
     image_c = scene.texture_atlas[mat.texture_id, tj, ti, :].astype(dtype)
 
     kind = mat.texture_kind[..., None]
@@ -158,9 +161,7 @@ def dome_light(normal: jax.Array, lights: Lights) -> jax.Array:
     only the last dome light's color scales the sum (reference quirk kept).
     """
     updot = jnp.maximum(normal[..., 1], 0.0)  # n · (0,1,0)
-    intensity = jnp.zeros_like(updot)
-    for d in range(lights.dome_intensity.shape[0]):
-        intensity = intensity + lights.dome_intensity[d] * updot
+    intensity = jnp.sum(lights.dome_intensity) * updot
     return lights.dome_color[-1][None, :] * intensity[..., None]
 
 

@@ -24,14 +24,33 @@ from jax.sharding import Mesh
 from .mesh import RAY_AXIS, SPHERE_AXIS
 
 
+def _already_initialized() -> bool:
+    """Whether the JAX distributed client is already up.
+
+    Checked WITHOUT touching any backend: ``jax.process_count()`` would
+    initialize local XLA first, after which ``jax.distributed.initialize``
+    refuses to run ("must be called before any JAX computations") — the
+    exact failure mode that silently degraded multi-host runs to
+    single-process in round 1 (ADVICE r1, distributed.py:33).
+    """
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except (ImportError, AttributeError):  # pragma: no cover - JAX internals moved
+        return getattr(jax.distributed, "_is_initialized", lambda: False)()
+
+
 def initialize(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
     """Bring up the JAX distributed runtime (idempotent).
 
     With no arguments, relies on the TPU environment's automatic cluster
     discovery (the standard pod-slice path).  Explicit arguments support
-    CPU loopback testing.
+    CPU loopback testing.  Errors from ``jax.distributed.initialize``
+    propagate — a multi-host job that cannot form its cluster must fail
+    loudly, not degrade to single-process.
     """
-    if jax.process_count() > 1 or getattr(jax.distributed, "_is_initialized", lambda: False)():
+    if _already_initialized():
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -40,11 +59,7 @@ def initialize(coordinator_address: str | None = None, num_processes: int | None
             num_processes=num_processes,
             process_id=process_id,
         )
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # Already initialized, or single-process run without cluster env.
-        pass
+    jax.distributed.initialize(**kwargs)
 
 
 def global_mesh(n_sphere_shards: int = 1) -> Mesh:

@@ -142,13 +142,18 @@ class Scene:
 
     ``texture_atlas`` is ``(T, Ht, Wt, 3)`` equirectangular images in [0, 1]
     (the feature spec'd by ``NumpyTexturedSphere``, ``shape.py:57-90``); pass
-    a (1, 1, 1, 3) dummy when no image textures are used.
+    a (1, 1, 1, 3) dummy when no image textures are used.  Differently-sized
+    textures are zero-padded to the common (Ht, Wt) — ``texture_hw`` keeps
+    each texture's native (h, w) so UV maps over the texture's own extent,
+    never the padding (ADVICE r1: two differently-sized textures would
+    otherwise render squashed/black).
     """
 
     spheres: Spheres
     lights: Lights
     camera: Camera
     texture_atlas: jax.Array  # (T, Ht, Wt, 3)
+    texture_hw: jax.Array  # (T, 2) int32 — native (h, w) per texture
 
 
 Scene = _register(Scene)
@@ -257,18 +262,28 @@ def make_scene(
     width: int,
     height: int,
     texture_atlas: Any | None = None,
+    texture_hw: Any | None = None,
     dtype: Any = jnp.float32,
 ) -> Scene:
     if texture_atlas is None:
         texture_atlas = jnp.zeros((1, 1, 1, 3), dtype=dtype)
     else:
         texture_atlas = jnp.asarray(texture_atlas, dtype=dtype)
+    if texture_hw is None:
+        # Every texture assumed to fill the atlas slot (single-size case).
+        t = texture_atlas.shape[0]
+        texture_hw = np.tile(
+            np.asarray([[texture_atlas.shape[1], texture_atlas.shape[2]]], np.int32), (t, 1)
+        )
+    texture_hw = jnp.asarray(texture_hw, jnp.int32)
     cam = Camera(
         position=jnp.asarray(np.asarray(camera_position, dtype=np.float64), dtype=dtype),
         width=int(width),
         height=int(height),
     )
-    return Scene(spheres=spheres, lights=lights, camera=cam, texture_atlas=texture_atlas)
+    return Scene(
+        spheres=spheres, lights=lights, camera=cam, texture_atlas=texture_atlas, texture_hw=texture_hw
+    )
 
 
 def scene_dtype(scene: Scene) -> Any:

@@ -43,10 +43,20 @@ def load_checkpoint(path: str | Path, like: Any) -> Any:
     with np.load(path, allow_pickle=False) as data:
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         leaves = [data[f"leaf_{i}"] for i in range(n)]
+        saved_treedef = (
+            json.loads(bytes(data["__treedef__"]).decode()) if "__treedef__" in data.files else None
+        )
     _, treedef = jax.tree_util.tree_flatten(like)
     if treedef.num_leaves != len(leaves):
         raise ValueError(
             f"{path}: checkpoint has {len(leaves)} leaves, structure expects {treedef.num_leaves}"
+        )
+    # Leaf COUNT alone would let a checkpoint from a different --train-fields
+    # selection silently load values into the wrong parameters (ADVICE r1);
+    # the stored treedef string pins the exact structure.
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            f"{path}: checkpoint structure mismatch.\n  saved:    {saved_treedef}\n  expected: {treedef}"
         )
     import jax.numpy as jnp
 

@@ -17,16 +17,24 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=coord, num_processes=nprocs, process_id=pid)
 
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from python_ray_tracer_tpu.parallel import distributed  # noqa: E402
+
+# Through the documented entry point — it must initialize BEFORE any JAX
+# computation touches a backend (ADVICE r1 regression).
+distributed.initialize(coordinator_address=coord, num_processes=nprocs, process_id=pid)
+assert distributed._already_initialized()
+distributed.initialize(coordinator_address=coord, num_processes=nprocs, process_id=pid)  # idempotent
+
+import jax.numpy as jnp  # noqa: E402
+
 from python_ray_tracer_tpu import RenderConfig  # noqa: E402
 from python_ray_tracer_tpu.models.scenes import reference_scene  # noqa: E402
-from python_ray_tracer_tpu.parallel import distributed, render_sharded  # noqa: E402
+from python_ray_tracer_tpu.parallel import render_sharded  # noqa: E402
 
 assert jax.device_count() == 2 * nprocs, jax.devices()
 mesh = distributed.global_mesh(n_sphere_shards=1)

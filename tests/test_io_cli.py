@@ -162,6 +162,51 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(loaded["b"][1]) == 7
 
 
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Same leaf count, different structure (e.g. a different --train-fields
+    selection): the saved treedef string must reject the load (ADVICE r1)."""
+    save_checkpoint(tmp_path / "c.npz", {"a": jnp.arange(3.0), "b": jnp.ones(())})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        load_checkpoint(tmp_path / "c.npz", {"a": jnp.arange(3.0), "z": jnp.ones(())})
+
+
+def test_mixed_size_textures(tmp_path):
+    """Two differently-sized image textures: the smaller one must sample its
+    own native extent, not the zero-padded atlas slot (ADVICE r1).  A far
+    off-screen sphere carrying a larger texture must not change how the
+    visible sphere's texture renders."""
+    rng = np.random.default_rng(11)
+    small = rng.uniform(0.2, 1.0, (8, 16, 3))
+    big = rng.uniform(0.2, 1.0, (32, 64, 3))
+    save_png(small, tmp_path / "small.png")
+    save_png(big, tmp_path / "big.png")
+    visible = {
+        "type": "Sphere", "centerXYZ": [0.0, 0.0, 3.0], "radius": 1.0,
+        "texture": "small.png", "diffuse_gain": 1.0,
+    }
+    light = {"type": "Light", "centerXYZ": [-2.0, 1.0, 2.0], "intensityRGB": [1, 1, 1]}
+    offscreen = {
+        "type": "Sphere", "centerXYZ": [0.0, 0.0, -500.0], "radius": 0.5,
+        "texture": "big.png", "diffuse_gain": 1.0,
+    }
+    (tmp_path / "alone.json").write_text(json.dumps([visible, light]))
+    (tmp_path / "mixed.json").write_text(json.dumps([visible, offscreen, light]))
+
+    cfg = RenderConfig(max_depth=2, dtype=jnp.float32)
+    img_alone = np.asarray(render(load_scene(tmp_path / "alone.json", width=64, height=36), cfg))
+    scene_mixed = load_scene(tmp_path / "mixed.json", width=64, height=36)
+    assert scene_mixed.texture_atlas.shape[1:3] == (32, 64)  # padded to max
+    np.testing.assert_array_equal(np.asarray(scene_mixed.texture_hw), [[8, 16], [32, 32 * 2]])
+    img_mixed = np.asarray(render(scene_mixed, cfg))
+    np.testing.assert_allclose(img_mixed, img_alone, rtol=1e-6, atol=1e-6)
+
+    # The fused Pallas kernel's in-kernel sampler agrees too.
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=256)
+    img_pallas = np.asarray(render(scene_mixed, cfg_p))
+    diff = np.abs(img_pallas - img_alone)
+    assert np.quantile(diff, 0.999) < 1e-3  # UV-seam lanes may round differently
+
+
 def test_metrics_logger(tmp_path):
     m = MetricsLogger(tmp_path / "log.jsonl")
     m.log("step", loss=0.5)
