@@ -36,7 +36,13 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--settings", type=str, help="JSON render-settings file")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
-    p.add_argument("--depth", type=int, default=3, help="max reflection depth")
+    p.add_argument(
+        "--depth",
+        type=str,
+        default="3",
+        help="max reflection depth, or 'auto' to bound it by the scene's "
+        "reflection energy decay (matches unbounded recursion below uint8 precision)",
+    )
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "float64", "bfloat16"])
     p.add_argument("--visibility", type=str, default="hard", choices=["hard", "smooth"])
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernels")
@@ -54,6 +60,7 @@ def _build(args) -> tuple:
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[args.dtype]
     extras = {}
+    depth_auto = str(args.depth) == "auto"
     if args.settings:
         from .io import load_settings
 
@@ -61,7 +68,7 @@ def _build(args) -> tuple:
         width, height = extras["width"], extras["height"]
     else:
         cfg = RenderConfig(
-            max_depth=args.depth,
+            max_depth=1 if depth_auto else int(args.depth),
             dtype=dtype,
             visibility=args.visibility,
             use_pallas=args.pallas,
@@ -85,6 +92,13 @@ def _build(args) -> tuple:
             scene = builtin.random_spheres_scene(width=width, height=height, dtype=cfg.dtype)
         else:
             scene = builtin.inverse_task_scene(width=width, height=height, dtype=cfg.dtype)
+    if depth_auto:
+        import dataclasses
+
+        from .render import auto_max_depth
+
+        cfg = dataclasses.replace(cfg, max_depth=auto_max_depth(scene))
+        print(f"auto depth: {cfg.max_depth}", file=sys.stderr)  # noqa: T201
     return scene, cfg, extras
 
 

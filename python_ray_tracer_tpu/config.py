@@ -73,6 +73,16 @@ class RenderConfig:
             Deterministic given ``rng_seed``.
         rng_seed: PRNG seed for supersampling/stochastic paths (replay is
             bitwise-reproducible for a fixed seed).
+        tie_mode: what to do when two spheres tie EXACTLY for the nearest
+            hit.  ``"first"`` (default): the lowest-index sphere wins —
+            identical to the reference except on measure-zero ties.
+            ``"sum"``: shade both tied spheres and add the results, the
+            reference's actual double-shading semantics
+            (``base.py:103,119`` shades every sphere whose distance equals
+            the minimum and sums).  Covers 2-way ties (deeper ties are
+            measure-zero-squared); the mirror continuation follows the
+            lowest-index winner.  Hard visibility, XLA path only (the
+            fused kernels and smooth mode use ``"first"``).
     """
 
     max_depth: int = 3
@@ -90,6 +100,7 @@ class RenderConfig:
     stochastic_roughness: bool = False
     rng_seed: int = 0
     intersect_mode: str = "auto"
+    tie_mode: str = "first"
 
     def __post_init__(self) -> None:
         if self.max_depth < 1:
@@ -100,6 +111,8 @@ class RenderConfig:
             raise ValueError(f"unknown visibility mode: {self.visibility}")
         if self.intersect_mode not in ("auto", "reference", "stable"):
             raise ValueError(f"unknown intersect mode: {self.intersect_mode}")
+        if self.tie_mode not in ("first", "sum"):
+            raise ValueError(f"unknown tie mode: {self.tie_mode}")
 
     @property
     def stable_intersect(self) -> bool:
@@ -134,6 +147,7 @@ class RenderConfig:
                 self.stochastic_roughness,
                 self.rng_seed,
                 self.intersect_mode,
+                self.tie_mode,
             )
         )
 
@@ -156,4 +170,5 @@ class RenderConfig:
             and self.stochastic_roughness == other.stochastic_roughness
             and self.rng_seed == other.rng_seed
             and self.intersect_mode == other.intersect_mode
+            and self.tie_mode == other.tie_mode
         )

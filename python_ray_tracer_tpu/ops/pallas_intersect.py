@@ -382,8 +382,8 @@ def nearest_hit_pallas(
 
 
 def _shadow_kernel(
-    o_ref, d_ref, self_ref, cc_ref, rc_ref, ce_ref, re_ref, out_ref,
-    *, faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
+    o_ref, d_ref, self_ref, cc_ref, rc_ref, ce_ref, re_ref, *out_refs,
+    faraway: float, bs_cheap: int, bs_exact: int, exact_base: int,
 ):
     o, d = _read_rays(o_ref, d_ref)
     width = o[0].shape[1]
@@ -408,9 +408,62 @@ def _shadow_kernel(
     carry = (jnp.full((1, width), big), jnp.full((1, width), big))
     carry = tier(cc_ref, rc_ref, bs_cheap, 0, _block_t_fast, carry)
     t_others, t_self = tier(ce_ref, re_ref, bs_exact, exact_base, _block_t_exact, carry)
-    # Reference semantics (shader.py:127-128): lit iff own sphere is the
-    # nearest hit along the shadow ray, evaluated as t_self <= min(others).
-    out_ref[:, :] = (t_self <= t_others).astype(dtype)
+    if len(out_refs) == 1:
+        # Reference semantics (shader.py:127-128): lit iff own sphere is
+        # the nearest hit along the shadow ray, as t_self <= min(others).
+        out_refs[0][:, :] = (t_self <= t_others).astype(dtype)
+    else:
+        # Sphere-sharded mode: emit the pair; the caller pmin-combines the
+        # shards before comparing (render._shadow_from_parts).
+        out_refs[0][:, :] = t_others
+        out_refs[1][:, :] = t_self
+
+
+def _shadow_call(
+    origin, direction, center, radius, self_idx, faraway,
+    n_exact, block_rays, block_spheres, interpret, vma, parts: bool,
+):
+    origin = jnp.broadcast_to(origin, direction.shape)
+    if n_exact is None:
+        n_exact = center.shape[0]
+    o, d, n = _pad_rays(origin, direction, block_rays)
+    cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(center, radius, n_exact, block_spheres)
+    n_pad = d.shape[0]
+    si = jnp.concatenate(
+        [self_idx.astype(jnp.int32), jnp.zeros((n_pad - n,), jnp.int32)]
+    ).reshape(1, n_pad)
+
+    kernel = functools.partial(
+        _shadow_kernel,
+        faraway=faraway,
+        bs_cheap=bs_cheap,
+        bs_exact=bs_exact,
+        exact_base=s_cheap,
+    )
+    lane = pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // block_rays,),
+        in_specs=[
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
+            lane,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(lane, lane) if parts else lane,
+        out_shape=(
+            (_out_struct((1, n_pad), d.dtype, vma), _out_struct((1, n_pad), d.dtype, vma))
+            if parts
+            else _out_struct((1, n_pad), d.dtype, vma)
+        ),
+        interpret=interpret,
+    )(o.T, d.T, si, cc, rc, ce, re)
+    if parts:
+        return out[0][0, :n], out[1][0, :n]
+    return out[0, :n]
 
 
 def shadow_hard_pallas(
@@ -429,40 +482,39 @@ def shadow_hard_pallas(
 ) -> jax.Array:
     """Fused hard shadow visibility in [0, 1] (step function — no gradient;
     callers stop_gradient the inputs like the XLA hard path's comparison)."""
-    origin = jnp.broadcast_to(origin, direction.shape)
-    if n_exact is None:
-        n_exact = center.shape[0]
-    o, d, n = _pad_rays(origin, direction, block_rays)
-    cc, rc, ce, re, bs_cheap, bs_exact, s_cheap = _split_tiers(center, radius, n_exact, block_spheres)
-    n_pad = d.shape[0]
-    si = jnp.concatenate(
-        [self_idx.astype(jnp.int32), jnp.zeros((n_pad - n,), jnp.int32)]
-    ).reshape(1, n_pad)
-
-    kernel = functools.partial(
-        _shadow_kernel,
-        faraway=faraway,
-        bs_cheap=bs_cheap,
-        bs_exact=bs_exact,
-        exact_base=s_cheap,
+    return _shadow_call(
+        origin, direction, center, radius, self_idx, faraway,
+        n_exact, block_rays, block_spheres, interpret, vma, parts=False,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_pad // block_rays,),
-        in_specs=[
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_rays), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=_out_struct((1, n_pad), d.dtype, vma),
-        interpret=interpret,
-    )(o.T, d.T, si, cc, rc, ce, re)
-    return out[0, :n]
+
+
+def shadow_parts_pallas(
+    origin: jax.Array,
+    direction: jax.Array,
+    center: jax.Array,  # (S_local, 3) — a sphere SHARD
+    radius: jax.Array,
+    self_idx: jax.Array,  # (N,) int32 GLOBAL index; pass self_idx - offset
+    # pre-subtracted?  No: pass global minus shard offset so the in-kernel
+    # local iota comparison identifies self within this shard only.
+    faraway: float,
+    *,
+    n_exact: int | None = None,
+    block_rays: int = 512,
+    block_spheres: int = 32,
+    interpret: bool = False,
+    vma: frozenset | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-shard shadow partials ``(min t over others, t of self)``.
+
+    For sphere-sharded sweeps: each shard reduces over its own spheres; the
+    caller pmin-combines both components across the sphere mesh axis and
+    compares ``t_self <= t_others`` (ref shader.py:127-128 semantics).  A
+    shard not owning ``self_idx`` contributes ``big`` to ``t_self``.
+    """
+    return _shadow_call(
+        origin, direction, center, radius, self_idx, faraway,
+        n_exact, block_rays, block_spheres, interpret, vma, parts=True,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,43 @@ from .ops.shading import NUDGE, LaneMaterial, gather_material, shade
 from .ops.vecmath import normalize, reflect
 from .scene import Scene
 
+
+def auto_max_depth(
+    scene: Scene,
+    quantum: float = 1.0 / 510.0,
+    color_bound: float = 2.0,
+    cap: int = 64,
+) -> int:
+    """Depth at which truncating the reference's unbounded recursion is
+    invisible at uint8 precision.
+
+    The reference recurses until every reflected ray misses
+    (``shader.py:143-156`` -> ``base.py:105``, measured depth 56 on the
+    README scene); each bounce attenuates by ``0.5 * specular_gain *
+    in_light`` (``shader.py:106``).  With ``g = 0.5 * max(specular_gain)``,
+    everything from depth D onward contributes at most
+    ``color_bound * g^D / (1 - g)`` per channel — choose the smallest D
+    putting that under half a uint8 quantum.  ``color_bound`` bounds one
+    bounce's local shaded color (images are clipped to [0,1]; 2.0 adds
+    headroom for unclipped HDR contributions).  Host-side (reads concrete
+    scene values) — resolve BEFORE jit and pass the result as
+    ``RenderConfig.max_depth``.
+    """
+    import math
+
+    import numpy as np
+
+    g = 0.5 * float(np.max(np.asarray(scene.spheres.specular_gain)))
+    if g <= 0.0:
+        return 1  # reflections carry zero weight (shader.py:106)
+    if g >= 1.0:
+        return cap  # non-dissipating mirror hall: cap (beyond ~56 the
+        # reference's own float energy dies; cap matches its measured max)
+    # color_bound * g^D / (1 - g) < quantum / 2
+    d = math.log(0.5 * quantum * (1.0 - g) / color_bound, g)
+    return max(1, min(cap, math.ceil(d)))
+
+
 def _sweep(
     origin: jax.Array,
     direction: jax.Array,
@@ -326,10 +363,12 @@ def trace(
         )
     # The fused hard-visibility kernels cover the single-shard sweep
     # (sphere sharding needs the collective combines).
-    fused = cfg.use_pallas and not smooth and sphere_axis is None
+    fused = cfg.use_pallas and not smooth and sphere_axis is None and cfg.tie_mode == "first"
     if fused:
         from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas
     stochastic = cfg.stochastic_roughness and key is not None
+    # Double-shade exact nearest-hit ties (ref base.py:103,119 semantics).
+    tie_sum = cfg.tie_mode == "sum" and not smooth and not fused
 
     def bounce(carry, _):
         if stochastic:
@@ -355,7 +394,8 @@ def trace(
         else:
             res = _sweep(
                 o, d, sweep_center, sweep_radius, cfg,
-                n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+                n_exact=scene.spheres.n_exact,
+                pin=sphere_axis is not None or tie_sum,
             )
             near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
@@ -405,6 +445,30 @@ def trace(
         local = shade(p, normal, to_light, to_camera, in_light, mat, scene)
 
         accum = accum + local.color * (throughput * coverage)[:, None]
+        if tie_sum:
+            # Second tied winner: HIGHEST index whose t equals the winning
+            # t bitwise (the sweep result is pinned by a barrier, so both
+            # sides read one canonical computation).  Shade it too and add
+            # — the reference shades every sphere at the minimum distance
+            # and sums (base.py:103,119).  2-way ties only; the mirror
+            # continuation stays with the lowest-index winner.
+            gidx = jnp.arange(res.t.shape[1], dtype=jnp.int32)[None, :] + sphere_offset
+            tied = res.t == near.t[:, None]
+            idx2_l = jnp.max(jnp.where(tied, gidx, -1), axis=1)
+            idx2 = jax.lax.pmax(idx2_l, sphere_axis) if sphere_axis is not None else idx2_l
+            has2 = near.hit & (idx2 != idx)
+            idx2 = jnp.where(has2, idx2, idx)
+            mat2: LaneMaterial = gather_material(scene.spheres, idx2)
+            normal2 = (p - mat2.center) * (1.0 / mat2.radius)[:, None]
+            p_nudged2 = p + normal2 * NUDGE
+            shadow_res2 = _sweep(
+                p_nudged2, to_light, sweep_center, sweep_radius, cfg,
+                n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+            )
+            in_light2 = _shadow_hard(shadow_res2, idx2, sphere_axis, sphere_offset, dtype)
+            local2 = shade(p, normal2, to_light, to_camera, in_light2, mat2, scene)
+            w2 = throughput * coverage * has2.astype(dtype)
+            accum = accum + local2.color * w2[:, None]
         throughput = throughput * coverage * local.refl_coeff
         alive = coverage if smooth else (alive * near.hit.astype(dtype))
 
@@ -458,6 +522,8 @@ def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
         from .ops.pallas_bounce import MAX_FUSED_TEXELS
 
         tex_ok = atlas_dummy or atlas.shape[0] * atlas.shape[1] * atlas.shape[2] <= MAX_FUSED_TEXELS
+        if cfg.tie_mode != "first":
+            return False  # double-shading ties needs the (N, S) tables
     return cfg.use_pallas and tex_ok and not cfg.ray_chunk
 
 

@@ -7,6 +7,7 @@ image crosses hosts through process_allgather (parallel/distributed.py).
 """
 
 import os
+import signal
 import socket
 import subprocess
 import sys
@@ -48,3 +49,53 @@ def test_two_process_loopback_render(tmp_path):
     got = np.load(out)
     expected = np.asarray(render(reference_scene(64, 36, dtype=jnp.float32), RenderConfig(max_depth=2, dtype=jnp.float32)))
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_worker_kill_mid_optimize_then_cluster_resume(tmp_path):
+    """Multi-host fault injection (SURVEY §5.3): SIGKILL one worker of a
+    2-process distributed optimize run mid-training; the whole job dies (as
+    a scheduler would tear it down), then a relaunched cluster must resume
+    from the last checkpoint and finish all steps."""
+    coord = f"127.0.0.1:{_free_port()}"
+    ckpt = tmp_path / "dist.ckpt.npz"
+    done = tmp_path / "done.txt"
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    steps, kill_after = 6, 2
+
+    def launch(coord, kill_pid):
+        return [
+            subprocess.Popen(
+                [
+                    sys.executable, str(REPO / "tests" / "distributed_fault_worker.py"),
+                    str(i), "2", coord, str(ckpt), str(steps), str(kill_pid), str(kill_after), str(done),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+
+    # Run 1: worker 1 kills itself after `kill_after` checkpointed steps.
+    procs = launch(coord, kill_pid=1)
+    assert procs[1].wait(timeout=300) == -signal.SIGKILL
+    # Worker 0 cannot finish without its peer; tear it down like a job
+    # scheduler reaping a broken allocation.
+    try:
+        procs[0].wait(timeout=20)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        procs[0].wait(timeout=30)
+    assert not done.exists()
+    assert ckpt.exists(), "no checkpoint survived the failure"
+
+    # Run 2: fresh cluster (new coordinator), resumes and completes.
+    procs = launch(f"127.0.0.1:{_free_port()}", kill_pid=-1)
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-2000:]
+    resumed_from, final_step, final_loss = done.read_text().split()
+    assert int(resumed_from) >= kill_after, "did not resume from the checkpoint"
+    assert int(resumed_from) < steps
+    assert int(final_step) == steps
+    assert np.isfinite(float(final_loss))

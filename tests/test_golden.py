@@ -83,6 +83,98 @@ def test_no_ties_in_golden_scene(reference_modules):
     assert (n_at_min[hit] == 1).all()
 
 
+def test_tie_mode_sum_matches_live_reference(reference_modules):
+    """Two IDENTICAL spheres tie exactly on every hit: the reference shades
+    both and sums (base.py:103,119).  tie_mode='sum' must reproduce that
+    against the live upstream code; tie_mode='first' shades only one."""
+    mods = reference_modules
+    base, shape, shader, domain = mods["base"], mods["shape"], mods["shader"], mods["domain"]
+    V, RGB = base.NumpyVector3D, base.NumpyRGBColor
+    w, h = 96, 54
+    # sg=0 on both: ties on reflective spheres would double the recursion
+    # weight upstream, which the single-continuation scan cannot represent
+    # (documented divergence, config.py tie_mode).
+    mats = [
+        (0.8, RGB(0.3, 0.2, 0.1)),
+        (0.6, RGB(0.1, 0.3, 0.2)),
+    ]
+    ref_scene = domain.Scene3D(
+        [
+            shape.NumpySphere(
+                V(0.0, 0.0, 3.0), 1.0,
+                shader.NumpyShader(0.0, 0.0, 0.3, 0.0, dg, shader.Texture(col)),
+            )
+            for dg, col in mats
+        ],
+        [domain.PointLight(V(-2, 1, 2)), domain.DomeLight(0.1, RGB(1.0, 1.0, 1.0))],
+        domain.Camera(V(0, 0.2, -2), w, h),
+    )
+    ref = reference_render(reference_modules, ref_scene)
+
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene, make_sphere_row
+
+    rows = [
+        make_sphere_row((0.0, 0.0, 3.0), 1.0, specular_roughness=0.3, diffuse_gain=dg,
+                        diffuse_color=(col.x, col.y, col.z))
+        for dg, col in mats
+    ]
+    scene = make_scene(
+        build_spheres(rows, dtype=jnp.float64),
+        build_lights((-2.0, 1.0, 2.0), domes=[(0.1, (1.0, 1.0, 1.0))], dtype=jnp.float64),
+        (0.0, 0.2, -2.0), w, h, dtype=jnp.float64,
+    )
+    cfg_sum = RenderConfig(max_depth=2, dtype=jnp.float64, tie_mode="sum")
+    ours = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_sum))
+    np.testing.assert_array_equal(to_uint8(ours), to_uint8(ref))
+
+    cfg_first = RenderConfig(max_depth=2, dtype=jnp.float64)
+    first = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_first))
+    assert (to_uint8(first) != to_uint8(ref)).any()  # single-shaded is dimmer
+
+
+def test_auto_depth_matches_unbounded_reference(reference_modules):
+    """max_depth=auto on the README scene reproduces the unbounded-recursion
+    reference at uint8 precision, with no hand-picked depth."""
+    from python_ray_tracer_tpu.render import auto_max_depth
+
+    w, h = 120, 68
+    scene = reference_scene(w, h, dtype=jnp.float64)
+    depth = auto_max_depth(scene)
+    assert depth >= 6  # sg_max = 1.0 -> g = 0.5 needs several bounces
+    cfg = RenderConfig(max_depth=depth, dtype=jnp.float64)
+    ours = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+    ref_scene = build_reference_scene(reference_modules, w, h)
+    ref = reference_render(reference_modules, ref_scene)
+    np.testing.assert_array_equal(to_uint8(ours), to_uint8(ref))
+
+
+def test_auto_depth_high_gain_mirror_scene():
+    """A high-gain mirror pair (per-bounce energy factor 0.6) needs a much
+    deeper bound than the defaults; auto depth must converge: adding 8 more
+    bounces cannot change the uint8 image."""
+    from python_ray_tracer_tpu.render import auto_max_depth
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene, make_sphere_row
+
+    rows = [
+        make_sphere_row((-1.05, 0.0, 3.0), 1.0, specular_gain=1.2, specular_roughness=0.05,
+                        diffuse_gain=0.2, diffuse_color=(0.9, 0.9, 1.0)),
+        make_sphere_row((1.05, 0.0, 3.0), 1.0, specular_gain=1.2, specular_roughness=0.05,
+                        diffuse_gain=0.2, diffuse_color=(1.0, 0.9, 0.9)),
+    ]
+    scene = make_scene(
+        build_spheres(rows, dtype=jnp.float64),
+        build_lights((0.0, 3.0, 0.0), domes=[(0.1, (1.0, 1.0, 1.0))], dtype=jnp.float64),
+        (0.0, 0.0, -2.0), 96, 54, dtype=jnp.float64,
+    )
+    depth = auto_max_depth(scene)
+    assert depth > 12  # g = 0.6: decays far slower than the README scene
+    img = np.asarray(jax.jit(render, static_argnums=1)(scene, RenderConfig(max_depth=depth, dtype=jnp.float64)))
+    deeper = np.asarray(
+        jax.jit(render, static_argnums=1)(scene, RenderConfig(max_depth=depth + 8, dtype=jnp.float64))
+    )
+    np.testing.assert_array_equal(to_uint8(img), to_uint8(deeper))
+
+
 def test_multi_dome_light_quirk_matches_live_reference(reference_modules):
     """Two dome lights: intensities accumulate but only the LAST dome's
     color scales the sum (ref shader.py:234-244 quirk) — cross-checked
