@@ -1,0 +1,112 @@
+"""Attribution for the config-4 culled path: where does the second go?
+
+Times, at 1024 spheres x 1920x1080 x depth 4 on the real chip:
+  a) full culled path (production)
+  b) kernels with CONSTANT candidate lists (no per-bounce XLA glue)
+  c) candidate_lists alone (the argsort + interval tests), per bounce
+  d) round-1 lane fused kernel (the 0.29 s baseline)
+  e) per-bounce candidate counts (how well does each bounce cull?)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_ray_tracer_tpu import RenderConfig
+from python_ray_tracer_tpu.camera import ray_directions_t
+from python_ray_tracer_tpu.models.scenes import random_spheres_scene
+
+W, H, DEPTH, S = 1920, 1080, 4, 1024
+FRAMES = 3
+
+
+def timed(name, fn, *args):
+    @jax.jit
+    def run(*a):
+        def body(carry, _):
+            out = fn(*a, bump=carry)
+            return jnp.mean(out), None
+
+        m, _ = jax.lax.scan(body, jnp.zeros(()), None, length=FRAMES)
+        return m
+
+    t0 = time.perf_counter()
+    float(np.asarray(run(*args)))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(np.asarray(run(*args)))
+    s = (time.perf_counter() - t0) / FRAMES
+    print(json.dumps({"variant": name, "s_per_frame": round(s, 4), "compile_s": round(compile_s, 1)}), flush=True)
+
+
+def main():
+    scene = random_spheres_scene(n_spheres=S, width=W, height=H, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, use_pallas=True)
+
+    from python_ray_tracer_tpu.ops.pallas_bounce import trace_fused
+    from python_ray_tracer_tpu.ops.pallas_culled import (
+        _SUBLANES, candidate_lists, pack_tiles, trace_fused_culled,
+    )
+
+    dirs_t = ray_directions_t(scene.camera, jnp.float32, None)
+
+    def culled(dirs_t, scene, bump):
+        import dataclasses
+
+        cam = dataclasses.replace(scene.camera, position=scene.camera.position + bump * 1e-9)
+        sc = dataclasses.replace(scene, camera=cam)
+        return trace_fused_culled(sc.camera.position, dirs_t, sc, cfg, transposed=True)
+
+    def lane(dirs_t, scene, bump):
+        import dataclasses
+
+        cam = dataclasses.replace(scene.camera, position=scene.camera.position + bump * 1e-9)
+        sc = dataclasses.replace(scene, camera=cam)
+        return trace_fused(sc.camera.position, dirs_t, sc, cfg, transposed=True)
+
+    # candidate build alone (one bounce worth: primary rays)
+    block = max(cfg.block_rays, 1024)
+    b_cols = block // _SUBLANES
+    n = dirs_t.shape[1]
+    n_pad = -(-n // block) * block
+    d_p = jnp.concatenate([dirs_t, jnp.broadcast_to(dirs_t[:, :1], (3, n_pad - n))], axis=1)
+    o_p = jnp.broadcast_to(scene.camera.position[:, None], d_p.shape)
+    o3 = pack_tiles(o_p, b_cols)
+    d3 = pack_tiles(d_p, b_cols)
+    s_cheap = scene.spheres.count - scene.spheres.n_exact
+    center = scene.spheres.center[:s_cheap]
+    radius = scene.spheres.radius[:s_cheap]
+
+    def cand_only(o3, d3, bump):
+        cand, cnt, cnt_f = candidate_lists(o3 + bump * 1e-12, d3, center, radius, b_cols)
+        return (cand.astype(jnp.float32).mean() + cnt.astype(jnp.float32).mean() + cnt_f.astype(jnp.float32).mean())
+
+    timed("lane_fused_r1", lane, dirs_t, scene)
+    timed("culled_full", culled, dirs_t, scene)
+    timed("cand_build_1bounce", cand_only, o3, d3)
+
+    # per-bounce candidate statistics (how well each bounce culls)
+    cand, cnt, cnt_f = candidate_lists(o3, d3, center, radius, b_cols)
+    print(json.dumps({
+        "bounce0_mean_cnt": float(jnp.mean(cnt + cnt_f)),
+        "bounce0_frac_overflow": float(jnp.mean((cnt_f > 0).astype(jnp.float32))),
+        "s_cheap": s_cheap,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

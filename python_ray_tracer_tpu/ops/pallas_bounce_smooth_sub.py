@@ -1,0 +1,798 @@
+"""Sublane-packed fused smooth bounce: forward AND handwritten adjoint.
+
+The round-2 layout rewrite of :mod:`.pallas_bounce_smooth`: rays packed
+into full ``(8, B)`` VPU tiles (8 sublanes x 128 lanes all busy) with
+spheres iterated as SMEM scalars — the attribution experiments
+(``benchmarks/attrib_bench.py``) measured the lane-major ``(1, B)`` layout
+at 1/8 VPU width; the hard-forward port of this layout ran 3.4x faster.
+
+Semantics are identical to the lane kernels (which replicate
+:func:`..render.trace`'s smooth bounce — sigmoid coverage of the winning
+sphere, shadow = product over other spheres of ``1 - sigmoid occlusion``,
+the full reference BRDF of
+``/root/reference/ray_tracer/infrastructure/numpy/shader.py:63-112``, and
+the mirror continuation), up to float reduction order: sphere reductions
+run sequentially over real (unpadded) spheres instead of blocked
+sublane/tree reductions.
+
+The backward kernel recomputes the forward per ray tile from saved
+(idx, hit, clear), then runs the manual adjoint: the per-lane chain rule
+phases are verbatim from the lane kernel (shape-agnostic); the shadow
+product adjoint is a scalar sphere loop; sphere-side gradients reduce the
+full tile to scalars accumulated in SMEM outputs.  Gradients match
+``jax.grad`` of the XLA path (tests/test_fused_smooth_sub.py).
+
+Scope: const/checker textures, deterministic mirror bounces, single
+shard, ``S <= MAX_SUB_SPHERES_SMOOTH`` (the loops unroll per sphere;
+bigger tables route to the blocked lane kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene import Scene
+from .pallas_bounce import (
+    _CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR,
+    _TFW, _TFT, _TFI, _KIND, _TID, _TEXH, _TEXW, _COLS, _NCONST,
+    _asin_poly, _atan2_poly, _material_table,
+)
+from .pallas_bounce_smooth import (
+    _block_sol_disc_exact,
+    _block_sol_disc_plain,
+    _dot3,
+    _norm3,
+    _quad_sol_disc,
+    _sig,
+    _sol_disc_adjoint,
+    _EPS_DEN,
+)
+from .pallas_bounce_sub import _SUBLANES, _consts_row, _geometry_table
+from .pallas_intersect import _round_up
+from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
+
+# The sphere loops unroll per sphere (scalar SMEM reads); past this count
+# the blocked lane kernel amortizes better and compile size stays sane.
+MAX_SUB_SPHERES_SMOOTH = 16
+
+# Material columns the smooth kernel consumes; atlas scenes additionally
+# select the texture id + native extents.
+_MCOLS = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
+_MCOLS_TEX = _MCOLS + (_TID, _TEXH, _TEXW)
+
+
+def _scalar_sphere(geom_ref, k):
+    """(cx, cy, cz, r) scalars of sphere k from the SMEM geometry table."""
+    return geom_ref[k, 0], geom_ref[k, 1], geom_ref[k, 2], geom_ref[k, 3]
+
+
+def _sphere_fn(k, s_cheap):
+    """Tier-correct (sol, disc, t, b, ct) evaluator for sphere k."""
+    return _block_sol_disc_plain if k < s_cheap else _block_sol_disc_exact
+
+
+class _FwdSub:
+    """Forward chain per ray tile; per-lane values are full (8, B) tiles.
+
+    Mirrors :class:`.pallas_bounce_smooth._Fwd` attribute-for-attribute so
+    the adjoint phases transfer verbatim; only the sphere reductions and
+    the material gather differ (scalar loops instead of blocked sweeps /
+    one-hot matmuls).
+    """
+
+    def __init__(self, o, d, thr, alive, refs, params, saved=None):
+        (geom_ref, mat_ref, const_ref) = refs
+        (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params
+        self.tex_hw = tex_hw  # (padded TH, TW) of the atlas, or None
+        dtype = o[0].dtype
+        shape = o[0].shape
+        self.dtype, self.shape = dtype, shape
+        self.o, self.d, self.thr, self.alive = o, d, thr, alive
+        self.faraway, self.sharp_e, self.sharp_s = faraway, sharp_e, sharp_s
+        self.geom_ref, self.s_cheap, self.s_total = geom_ref, s_cheap, s_total
+
+        saved_clear = None
+        if saved is not None:
+            self.idx, self.hit, saved_clear = saved
+        else:
+            far = jnp.asarray(faraway, dtype)
+            tmin = jnp.full(shape, far)
+            imin = jnp.zeros(shape, jnp.int32)
+            dmax = jnp.full(shape, -jnp.asarray(3.0e38, dtype))
+            idmax = jnp.zeros(shape, jnp.int32)
+            for k in range(s_total):
+                c = _scalar_sphere(geom_ref, k)
+                sol, disc, t, _, _ = _sphere_fn(k, s_cheap)(
+                    o, d, (c[0], c[1], c[2]), c[3], faraway
+                )
+                take = t < tmin  # strict: lowest index wins exact ties
+                tmin = jnp.where(take, t, tmin)
+                imin = jnp.where(take, k, imin)
+                taked = disc > dmax  # strict: lowest index on disc ties
+                dmax = jnp.where(taked, disc, dmax)
+                idmax = jnp.where(taked, k, idmax)
+            self.hit = tmin != far
+            self.idx = jnp.where(self.hit, imin, idmax)
+
+        # Per-lane material values: broadcast-select per sphere.
+        mcols = _MCOLS_TEX if tex_hw is not None else _MCOLS
+        mat = {c: jnp.full(shape, mat_ref[0, c], dtype) for c in mcols}
+        for k in range(1, s_total):
+            sel = self.idx == k
+            for c in mcols:
+                mat[c] = jnp.where(sel, mat_ref[k, c], mat[c])
+        self.mat = mat
+        m = self.m
+        self.c_w = (m(_CX), m(_CY), m(_CZ))
+        self.r_w = m(_RAD)
+
+        # Winner-only per-lane quadratic, tier-matched to the loop above.
+        from .pallas_bounce_smooth import _compensated_b_cterm
+
+        is_exact = (self.idx >= s_cheap).astype(dtype)
+        oc = tuple(o[i] - self.c_w[i] for i in range(3))
+        b_p = 2.0 * _dot3(d, oc)
+        ct_p = _dot3(oc, oc) - self.r_w * self.r_w
+        if s_cheap == s_total:
+            self.b_w, self.ct_w = b_p, ct_p
+        elif s_cheap == 0:
+            self.b_w, self.ct_w = _compensated_b_cterm(o, d, self.c_w, self.r_w, dtype)
+        else:
+            b_e, ct_e = _compensated_b_cterm(o, d, self.c_w, self.r_w, dtype)
+            self.b_w = jnp.where(is_exact > 0, b_e, b_p)
+            self.ct_w = jnp.where(is_exact > 0, ct_e, ct_p)
+        self.sol_w, self.disc_w, self.t_w = _quad_sol_disc(self.b_w, self.ct_w, faraway, dtype)
+
+        self.sig_de = _sig(sharp_e * self.disc_w)
+        self.sig_se = _sig(sharp_e * self.sol_w)
+        self.cov_w = self.sig_de * self.sig_se
+        self.coverage = self.cov_w * alive
+
+        self.t_safe = jnp.where(self.hit, self.sol_w, jnp.ones_like(self.sol_w))
+        self.p = tuple(o[i] + d[i] * self.t_safe for i in range(3))
+        self.inv_r = 1.0 / self.r_w
+        self.normal = tuple((self.p[i] - self.c_w[i]) * self.inv_r for i in range(3))
+
+        def const(i):
+            return const_ref[0, i]  # SMEM scalar
+
+        self.cam = (const(0), const(1), const(2))
+        self.light = (const(3), const(4), const(5))
+        self.dome_c = (const(6), const(7), const(8))
+        self.dome_t = const(9)
+
+        self.lv_raw = tuple(self.light[i] - self.p[i] for i in range(3))
+        self.L, self.l_mag = _norm3(self.lv_raw)
+        self.vv_raw = tuple(self.cam[i] - self.p[i] for i in range(3))
+        self.V, self.v_mag = _norm3(self.vv_raw)
+        self.p_n = tuple(self.p[i] + self.normal[i] * NUDGE for i in range(3))
+
+        if saved_clear is not None:
+            clear = saved_clear
+        else:
+            clear = jnp.ones(shape, dtype)
+            for k in range(s_total):
+                c = _scalar_sphere(geom_ref, k)
+                sol, disc, _, _, _ = _sphere_fn(k, s_cheap)(
+                    self.p_n, self.L, (c[0], c[1], c[2]), c[3], faraway
+                )
+                occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
+                clear = clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
+        self.clear = clear
+
+        # shading — verbatim from the lane _Fwd (provenance: ops/shading.py)
+        self.n_dot_l = jnp.maximum(_dot3(self.normal, self.L), 0.0)
+        cx = jnp.trunc(self.p[0] * 2.0).astype(jnp.int32) % 2
+        cz = jnp.trunc(self.p[2] * 2.0).astype(jnp.int32) % 2
+        self.checker = (cx == cz).astype(dtype)
+        self.is_checker = m(_KIND) == 1.0
+        self.tex = tuple(jnp.where(self.is_checker, self.checker, m(c)) for c in (_DCR, _DCG, _DCB))
+        if tex_hw is not None:
+            # Equirectangular image texture (ref shape.py:68-81): the
+            # in-kernel work is ONLY the flat texel index (polynomial
+            # atan2/asin over native extents); the nearest-texel color is
+            # gathered OUTSIDE the kernel by XLA — exact, any atlas size,
+            # and gradient-free exactly like jax.grad of the XLA sampler
+            # (integer indexing has zero tangent).  The kernel zeroes the
+            # in-kernel diffuse texture for image lanes and exports
+            # dww = diffuse_weight * path_weight so the external gather
+            # composes (and differentiates) the diffuse term.
+            th_pad, tw_pad = tex_hw
+            self.is_image = m(_KIND) == 2.0
+            u = 0.5 + _atan2_poly(self.normal[2], self.normal[0]) / (2.0 * jnp.pi)
+            v = 0.5 - _asin_poly(self.normal[1]) / jnp.pi
+            u = u - jnp.floor(u)
+            v = v - jnp.floor(v)
+            th_l = m(_TEXH)
+            tw_l = m(_TEXW)
+            ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, (tw_l - 1.0).astype(jnp.int32))
+            tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, (th_l - 1.0).astype(jnp.int32))
+            flat = m(_TID).astype(jnp.int32) * (th_pad * tw_pad) + tj * tw_pad + ti
+            self.flat = jnp.where(self.is_image, flat, 0)
+            self.tex = tuple(jnp.where(self.is_image, jnp.zeros_like(t), t) for t in self.tex)
+        self.dw = self.n_dot_l * self.clear * m(_DG)
+
+        self.relu_ny = jnp.maximum(self.normal[1], 0.0)
+        self.dome_up = self.relu_ny * self.dome_t
+        self.dome = tuple(self.dome_c[i] * self.dome_up for i in range(3))
+
+        self.H, self.h_mag = _norm3(tuple(self.L[i] + self.V[i] for i in range(3)))
+        self.nv_raw = _dot3(self.normal, self.V)
+        self.nh_raw = _dot3(self.normal, self.H)
+        self.vh_raw = _dot3(self.V, self.H)
+        self.nl_raw = _dot3(self.normal, self.L)
+        self.n_dot_v = jnp.clip(self.nv_raw, 0.0, 1.0)
+        self.n_dot_h = jnp.clip(self.nh_raw, 0.0, 1.0)
+        self.v_dot_h = jnp.clip(self.vh_raw, 0.0, 1.0)
+        self.n_dot_l_c = jnp.clip(self.nl_raw, 0.0, 1.0)
+        ior = m(_IOR)
+        self.f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+        self.one_m_vdh5 = (1.0 - self.v_dot_h) ** 5
+        self.fresnel = self.f0 + (1.0 - self.f0) * self.one_m_vdh5
+        self.alpha = m(_ROUGH) ** 2
+        self.ggx_den = self.n_dot_h**2 * (self.alpha**2 - 1.0) + 1.0
+        self.dist = (self.alpha**2) / (jnp.pi * (self.ggx_den**2 + SHADING_EPS))
+
+        def g1(x):
+            root = jnp.sqrt(self.alpha**2 + (1.0 - self.alpha**2) * (x**2))
+            return 2.0 * x / (x + root + SHADING_EPS), root
+
+        self.g1l, self.g1l_root = g1(self.n_dot_l_c)
+        self.g1v, self.g1v_root = g1(self.n_dot_v)
+        self.geom = self.g1l * self.g1v
+        self.spec_den = 4.0 * self.n_dot_v + SHADING_EPS
+        self.spec_base = (self.fresnel * self.dist * self.geom) / self.spec_den
+        self.one_m_ndv = 1.0 - self.n_dot_v
+        self.glint = self.one_m_ndv**GLINT_EXPONENT * self.n_dot_l_c
+        self.spec_gate = self.n_dot_v > 0
+        self.spec = jnp.where(self.spec_gate, self.spec_base + m(_SG) * self.glint, 0.0)
+        self.spec_term = self.spec * m(_SG) * self.clear
+
+        self.view_angle = jnp.clip(self.nv_raw, 0.0, 1.0)
+        self.angle_factor = jnp.abs(self.view_angle - 0.5) * 2.0
+        self.phase = self.angle_factor * jnp.pi * m(_TFT) * 10.0
+        self.ip = jnp.sin(self.phase)
+        self.hue = (m(_TFI) - 1.0) / 2.0
+        self.irid_w = m(_TFW) * m(_IG)
+        self.irid_base = (
+            self.ip * self.hue + (1.0 - self.hue) * (1.0 - self.ip),
+            self.ip * (1.0 - self.hue) + self.hue * (1.0 - self.ip),
+            0.5 + 0.5 * self.ip,
+        )
+        self.irid = tuple(self.irid_base[i] * self.irid_w for i in range(3))
+
+        amb = jnp.asarray(AMBIENT, dtype)
+        self.color = tuple(
+            amb + self.tex[i] * self.dw + self.dome[i] + self.spec_term + self.irid[i] for i in range(3)
+        )
+
+        self.w = thr * self.coverage
+        if tex_hw is not None:
+            self.dww = jnp.where(self.is_image, self.dw * self.w, jnp.zeros_like(self.w))
+        self.refl_coeff = 0.5 * m(_SG) * self.clear
+        self.thr_out = self.w * self.refl_coeff
+        self.alive_out = self.coverage
+
+        self.ddn = 2.0 * _dot3(d, self.normal)
+        self.u = tuple(d[i] - self.normal[i] * self.ddn for i in range(3))
+        self.refl, self.u_mag = _norm3(self.u)
+
+    def m(self, col):
+        return self.mat[col]
+
+
+def _fwd_kernel_sub(
+    o_ref, d_ref, thr_ref, alive_ref, acc_ref,
+    geom_ref, mat_ref, const_ref,
+    o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out, clear_out,
+    *tex_outs,
+    params,
+):
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    f = _FwdSub(o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params)
+    for i in range(3):
+        acc_out[i] = acc_ref[i] + f.color[i] * f.w
+        o_out[i] = f.p_n[i]
+        d_out[i] = f.refl[i]
+    thr_out[:, :] = f.thr_out
+    alive_out[:, :] = f.alive_out
+    idx_out[:, :] = f.idx
+    hit_out[:, :] = f.hit.astype(f.dtype)
+    clear_out[:, :] = f.clear
+    if tex_outs:
+        flat_out, dww_out = tex_outs
+        flat_out[:, :] = f.flat
+        dww_out[:, :] = f.dww
+
+
+def _bwd_kernel_sub(
+    # saved inputs + output cotangents (g_dww present only for atlas runs)
+    *refs,
+    params,
+):
+    (faraway, s_cheap, s_total, _, _, tex_hw) = params
+    (
+        o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
+        geom_ref, mat_ref, const_ref,
+        go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref,
+    ) = refs[:15]
+    rest = refs[15:]
+    if tex_hw is not None:
+        gdww_ref = rest[0]
+        rest = rest[1:]
+    (
+        go_in_ref, gd_in_ref, gthr_in_ref, galive_in_ref,
+        ggeom_ref, gmat_ref, gconst_ref,
+    ) = rest
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    saved = (idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :])
+    f = _FwdSub(
+        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params, saved=saved
+    )
+    dtype = f.dtype
+    m = f.m
+    step = pl.program_id(0)
+
+    g_refl = (gd_ref[0], gd_ref[1], gd_ref[2])
+    g_o_out = (go_ref[0], go_ref[1], go_ref[2])
+    g_acc = (gacc_ref[0], gacc_ref[1], gacc_ref[2])
+    g_thr_o = gthr_ref[:, :]
+    g_alive_o = galive_ref[:, :]
+
+    # Scalar-table gradient accumulators (SMEM) persist across grid steps;
+    # zero on the first step.
+    @pl.when(step == 0)
+    def _init():
+        for kk in range(s_total):
+            for cc in range(4):
+                ggeom_ref[kk, cc] = 0.0
+            for cc in range(_COLS):
+                gmat_ref[kk, cc] = 0.0
+        for cc in range(_NCONST):
+            gconst_ref[0, cc] = 0.0
+
+    # --- Phase A: top-level + shading adjoints (verbatim lane kernel) ---
+    g_color = tuple(g_acc[i] * f.w for i in range(3))
+    g_w = sum(g_acc[i] * f.color[i] for i in range(3))
+    g_w = g_w + g_thr_o * f.refl_coeff
+    if tex_hw is not None:
+        # External diffuse-texture term: acc += texel * dww with
+        # dww = where(is_image, dw * w, 0); texel is gradient-free.
+        g_dww = jnp.where(f.is_image, gdww_ref[:, :], 0.0)
+        g_w = g_w + g_dww * f.dw
+    g_rc = g_thr_o * f.w
+    g_sg = 0.5 * f.clear * g_rc
+    g_clear = 0.5 * m(_SG) * g_rc
+    g_coverage = g_alive_o + g_w * f.thr
+    g_thr_in = g_w * f.coverage
+    rdot = sum(f.refl[i] * g_refl[i] for i in range(3))
+    inv_umag = 1.0 / jnp.maximum(f.u_mag, _EPS_DEN)
+    g_u = tuple((g_refl[i] - f.refl[i] * rdot) * inv_umag for i in range(3))
+    g_d_acc = [g_u[i] for i in range(3)]
+    g_ddn = -sum(f.normal[i] * g_u[i] for i in range(3))
+    g_n_acc = [-f.ddn * g_u[i] for i in range(3)]
+    for i in range(3):
+        g_d_acc[i] = g_d_acc[i] + 2.0 * f.normal[i] * g_ddn
+        g_n_acc[i] = g_n_acc[i] + 2.0 * d[i] * g_ddn
+
+    g_tex = tuple(g_color[i] * f.dw for i in range(3))
+    g_dw = sum(g_color[i] * f.tex[i] for i in range(3))
+    if tex_hw is not None:
+        g_dw = g_dw + g_dww * f.w
+    g_spec_term = sum(g_color)
+    g_irid_w = sum(g_color[i] * f.irid_base[i] for i in range(3))
+    g_ip = f.irid_w * (
+        g_color[0] * (2.0 * f.hue - 1.0) + g_color[1] * (1.0 - 2.0 * f.hue) + g_color[2] * 0.5
+    )
+    g_hue = f.irid_w * (g_color[0] * (2.0 * f.ip - 1.0) + g_color[1] * (1.0 - 2.0 * f.ip))
+    g_tfw = g_irid_w * m(_IG)
+    g_ig = g_irid_w * m(_TFW)
+    g_tfi = g_hue * 0.5
+    g_phase = jnp.cos(f.phase) * g_ip
+    g_af = jnp.pi * 10.0 * m(_TFT) * g_phase
+    g_tft = f.angle_factor * jnp.pi * 10.0 * g_phase
+    g_va = 2.0 * jnp.sign(f.view_angle - 0.5) * g_af
+    gate_nv = ((f.nv_raw > 0) & (f.nv_raw < 1)).astype(dtype)
+    g_nv_raw = g_va * gate_nv
+    g_spec = g_spec_term * m(_SG) * f.clear
+    g_sg = g_sg + g_spec_term * f.spec * f.clear
+    g_clear = g_clear + g_spec_term * f.spec * m(_SG)
+    g_spec = jnp.where(f.spec_gate, g_spec, 0.0)
+    g_spec_base = g_spec
+    g_sg = g_sg + g_spec * f.glint
+    g_glint = g_spec * m(_SG)
+    g_one_m_ndv = g_glint * GLINT_EXPONENT * f.one_m_ndv ** (GLINT_EXPONENT - 1.0) * f.n_dot_l_c
+    g_ndv = -g_one_m_ndv
+    g_nlc = g_glint * f.one_m_ndv**GLINT_EXPONENT
+    inv_sden = 1.0 / f.spec_den
+    g_fres = g_spec_base * f.dist * f.geom * inv_sden
+    g_dist = g_spec_base * f.fresnel * f.geom * inv_sden
+    g_geom = g_spec_base * f.fresnel * f.dist * inv_sden
+    g_sden = -g_spec_base * f.spec_base * inv_sden
+    g_ndv = g_ndv + 4.0 * g_sden
+    A = f.alpha
+    g_g1l = g_geom * f.g1v
+    g_g1v = g_geom * f.g1l
+    g_A = jnp.zeros_like(A)
+
+    def g1_adj(x, R, g1, g_g1):
+        Rs = jnp.maximum(R, _EPS_DEN)
+        den = x + R + SHADING_EPS
+        Rp = (1.0 - A**2) * x / Rs
+        gx = g_g1 * 2.0 * (R + SHADING_EPS - x * Rp) / (den * den)
+        dRdA = A * (1.0 - x * x) / Rs
+        gA = g_g1 * (-2.0 * x / (den * den)) * dRdA
+        return gx, gA
+
+    gx_l, gA_l = g1_adj(f.n_dot_l_c, f.g1l_root, f.g1l, g_g1l)
+    gx_v, gA_v = g1_adj(f.n_dot_v, f.g1v_root, f.g1v, g_g1v)
+    g_nlc = g_nlc + gx_l
+    g_ndv = g_ndv + gx_v
+    g_A = g_A + gA_l + gA_v
+    Dq = f.ggx_den
+    denD = jnp.pi * (Dq * Dq + SHADING_EPS)
+    g_A = g_A + g_dist * 2.0 * A / denD
+    g_Dq = g_dist * (-(A * A) * 2.0 * Dq * jnp.pi) / (denD * denD)
+    g_ndh = g_Dq * 2.0 * f.n_dot_h * (A * A - 1.0)
+    g_A = g_A + g_Dq * f.n_dot_h**2 * 2.0 * A
+    g_f0 = g_fres * (1.0 - f.one_m_vdh5)
+    g_vdh = -g_fres * (1.0 - f.f0) * 5.0 * (1.0 - f.v_dot_h) ** 4
+    ior = m(_IOR)
+    ratio = (ior - 1.0) / (ior + 1.0)
+    g_ior = g_f0 * 2.0 * ratio * (2.0 / ((ior + 1.0) ** 2))
+    g_rough = 2.0 * m(_ROUGH) * g_A
+    g_ndv_raw = (g_ndv) * gate_nv + g_nv_raw
+    g_ndh_raw = g_ndh * ((f.nh_raw > 0) & (f.nh_raw < 1)).astype(dtype)
+    g_vdh_raw = g_vdh * ((f.vh_raw > 0) & (f.vh_raw < 1)).astype(dtype)
+    g_nlc_raw = g_nlc * ((f.nl_raw > 0) & (f.nl_raw < 1)).astype(dtype)
+    g_dome_c = tuple(g_color[i] * f.dome_up for i in range(3))
+    g_dome_up = sum(g_color[i] * f.dome_c[i] for i in range(3))
+    g_relu_ny = g_dome_up * f.dome_t
+    g_dome_t = g_dome_up * f.relu_ny
+    g_n_acc[1] = g_n_acc[1] + g_relu_ny * (f.normal[1] > 0).astype(dtype)
+    g_ndl = g_dw * f.clear * m(_DG)
+    g_clear = g_clear + g_dw * f.n_dot_l * m(_DG)
+    g_dg = g_dw * f.n_dot_l * f.clear
+    g_nl_relu = g_ndl * (f.nl_raw > 0).astype(dtype)
+    # Const-color branch only: checker is piecewise-constant; image lanes'
+    # tex is zeroed in-kernel (the external gather owns their diffuse).
+    is_const = ~f.is_checker if tex_hw is None else (~f.is_checker & ~f.is_image)
+    g_dcc = tuple(g_tex[i] * is_const.astype(dtype) for i in range(3))
+    g_cov_w = g_coverage * f.alive
+    g_alive_in = g_coverage * f.cov_w
+    g_disc_w = g_cov_w * f.sig_se * f.sig_de * (1.0 - f.sig_de) * f.sharp_e
+    g_sol_w = g_cov_w * f.sig_de * f.sig_se * (1.0 - f.sig_se) * f.sharp_e
+
+    g_L_acc = [f.normal[i] * (g_nlc_raw + g_nl_relu) for i in range(3)]
+    g_V_acc = [f.normal[i] * g_ndv_raw + f.H[i] * g_vdh_raw for i in range(3)]
+    g_H_acc = [f.normal[i] * g_ndh_raw + f.V[i] * g_vdh_raw for i in range(3)]
+    for i in range(3):
+        g_n_acc[i] = (
+            g_n_acc[i]
+            + f.V[i] * g_ndv_raw
+            + f.H[i] * g_ndh_raw
+            + f.L[i] * (g_nlc_raw + g_nl_relu)
+        )
+    # --- Phase B: H = (L + V)/|L + V| ----------------------------------
+    hdot = sum(f.H[i] * g_H_acc[i] for i in range(3))
+    inv_hmag = 1.0 / jnp.maximum(f.h_mag, _EPS_DEN)
+    for i in range(3):
+        g_lv = (g_H_acc[i] - f.H[i] * hdot) * inv_hmag
+        g_L_acc[i] = g_L_acc[i] + g_lv
+        g_V_acc[i] = g_V_acc[i] + g_lv
+
+    # --- Phase C: shadow-product adjoint (scalar sphere loop) ----------
+    g_pn_s = [jnp.zeros_like(g_clear) for _ in range(3)]
+    for k in range(s_total):
+        c = _scalar_sphere(geom_ref, k)
+        sol, disc, _, b, ct = _sphere_fn(k, s_cheap)(
+            f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway
+        )
+        sd = _sig(f.sharp_s * disc)
+        ss = _sig(f.sharp_s * sol)
+        occl = sd * ss
+        is_self = f.idx == k
+        fac = jnp.where(is_self, jnp.ones_like(occl), 1.0 - occl)
+        g_fac = g_clear * f.clear / jnp.maximum(fac, _EPS_DEN)
+        g_occl = jnp.where(is_self, 0.0, -g_fac)
+        g_disc_j = g_occl * ss * sd * (1.0 - sd) * f.sharp_s
+        g_sol_j = g_occl * sd * ss * (1.0 - ss) * f.sharp_s
+        g_b, g_ct = _sol_disc_adjoint(b, ct, g_sol_j, g_disc_j)
+        oc = tuple(f.p_n[i] - c[i] for i in range(3))
+        for i in range(3):
+            g_pn_s[i] = g_pn_s[i] + 2.0 * f.L[i] * g_b + 2.0 * oc[i] * g_ct
+            g_L_acc[i] = g_L_acc[i] + 2.0 * oc[i] * g_b
+            ggeom_ref[k, i] = ggeom_ref[k, i] + jnp.sum(-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct)
+        ggeom_ref[k, 3] = ggeom_ref[k, 3] + jnp.sum(-2.0 * c[3] * g_ct)
+
+    # --- Phase D: p_n, L, V unit-vector transposes ---------------------
+    g_pn = [g_o_out[i] + g_pn_s[i] for i in range(3)]
+    g_p = [g_pn[i] for i in range(3)]
+    for i in range(3):
+        g_n_acc[i] = g_n_acc[i] + NUDGE * g_pn[i]
+    ldot = sum(f.L[i] * g_L_acc[i] for i in range(3))
+    inv_lmag = 1.0 / jnp.maximum(f.l_mag, _EPS_DEN)
+    g_light = []
+    for i in range(3):
+        g_lv = (g_L_acc[i] - f.L[i] * ldot) * inv_lmag
+        g_light.append(g_lv)
+        g_p[i] = g_p[i] - g_lv
+    vdot = sum(f.V[i] * g_V_acc[i] for i in range(3))
+    inv_vmag = 1.0 / jnp.maximum(f.v_mag, _EPS_DEN)
+    g_cam = []
+    for i in range(3):
+        g_vv = (g_V_acc[i] - f.V[i] * vdot) * inv_vmag
+        g_cam.append(g_vv)
+        g_p[i] = g_p[i] - g_vv
+
+    # --- Phase E: normal, p, winner quadratic --------------------------
+    g_cw = [jnp.zeros_like(g_clear) for _ in range(3)]
+    g_rw = -sum(f.normal[i] * g_n_acc[i] for i in range(3)) * f.inv_r
+    for i in range(3):
+        g_p[i] = g_p[i] + g_n_acc[i] * f.inv_r
+        g_cw[i] = g_cw[i] - g_n_acc[i] * f.inv_r
+    g_o_in = [g_p[i] for i in range(3)]
+    g_t = sum(d[i] * g_p[i] for i in range(3))
+    for i in range(3):
+        g_d_acc[i] = g_d_acc[i] + g_p[i] * f.t_safe
+    g_sol_w = g_sol_w + jnp.where(f.hit, g_t, 0.0)
+    g_bw, g_ctw = _sol_disc_adjoint(f.b_w, f.ct_w, g_sol_w, g_disc_w)
+    oc_w = tuple(o[i] - f.c_w[i] for i in range(3))
+    for i in range(3):
+        g_o_in[i] = g_o_in[i] + 2.0 * d[i] * g_bw + 2.0 * oc_w[i] * g_ctw
+        g_d_acc[i] = g_d_acc[i] + 2.0 * oc_w[i] * g_bw
+        g_cw[i] = g_cw[i] - 2.0 * d[i] * g_bw - 2.0 * oc_w[i] * g_ctw
+    g_rw = g_rw - 2.0 * f.r_w * g_ctw
+
+    # --- Phase F: scatter per-lane material grads into the table -------
+    rows = {
+        _CX: g_cw[0], _CY: g_cw[1], _CZ: g_cw[2],
+        _RAD: g_rw,
+        _DG: g_dg,
+        _DCR: g_dcc[0], _DCG: g_dcc[1], _DCB: g_dcc[2],
+        _SG: g_sg,
+        _ROUGH: g_rough,
+        _IG: g_ig,
+        _IOR: g_ior,
+        _TFW: g_tfw,
+        _TFT: g_tft,
+        _TFI: g_tfi,
+    }
+    for k in range(s_total):
+        sel = (f.idx == k).astype(dtype)
+        for col, val in rows.items():
+            gmat_ref[k, col] = gmat_ref[k, col] + jnp.sum(sel * val)
+
+    # --- Phase G: consts grads -----------------------------------------
+    const_vals = (
+        g_cam[0], g_cam[1], g_cam[2],
+        g_light[0], g_light[1], g_light[2],
+        g_dome_c[0], g_dome_c[1], g_dome_c[2],
+        g_dome_t,
+    )
+    for i, v in enumerate(const_vals):
+        gconst_ref[0, i] = gconst_ref[0, i] + jnp.sum(v)
+
+    # --- per-lane outputs ----------------------------------------------
+    for i in range(3):
+        go_in_ref[i] = g_o_in[i]
+        gd_in_ref[i] = g_d_acc[i]
+    gthr_in_ref[:, :] = g_thr_in
+    galive_in_ref[:, :] = g_alive_in
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper + scan-based trace (mirrors the lane module; tables
+# built outside with plain jnp so JAX transposes them onto scene arrays).
+# ---------------------------------------------------------------------------
+
+
+def _specs_sub(block_rays):
+    b_cols = block_rays // _SUBLANES
+    lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return lane, vec, smem
+
+
+def _smem_acc_spec(shape):
+    """Whole-array SMEM output revisited (accumulated) by every grid step."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+
+
+def _sds(shape, dtype, vma):
+    if vma is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+
+
+def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, block_rays, interpret, vma) = params
+    m_cols = d3.shape[2]
+    lane, vec, smem = _specs_sub(block_rays)
+    kernel = functools.partial(
+        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw)
+    )
+    dtype = d3.dtype
+    tex_specs = (lane, lane) if tex_hw is not None else ()
+    tex_shapes = (
+        (_sds((_SUBLANES, m_cols), jnp.int32, vma), _sds((_SUBLANES, m_cols), dtype, vma))
+        if tex_hw is not None
+        else ()
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m_cols // (block_rays // _SUBLANES),),
+        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem],
+        out_specs=(vec, vec, lane, lane, vec, lane, lane, lane) + tex_specs,
+        out_shape=(
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), jnp.int32, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+        )
+        + tex_shapes,
+        interpret=interpret,
+    )(o3, d3, thr, alive, acc, geom, mat, consts)
+
+
+def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, block_rays, interpret, vma) = params
+    m_cols = d3.shape[2]
+    lane, vec, smem = _specs_sub(block_rays)
+    kernel = functools.partial(
+        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw)
+    )
+    dtype = d3.dtype
+    tex_in = (g_dww,) if tex_hw is not None else ()
+    return pl.pallas_call(
+        kernel,
+        grid=(m_cols // (block_rays // _SUBLANES),),
+        in_specs=[
+            vec, vec, lane, lane, lane, lane, lane,  # saved (+idx, hit, clear)
+            smem, smem, smem,  # tables
+            vec, vec, lane, lane, vec,  # cotangents
+        ]
+        + ([lane] if tex_hw is not None else []),
+        out_specs=(
+            vec, vec, lane, lane,
+            _smem_acc_spec(geom.shape),
+            _smem_acc_spec(mat.shape),
+            _smem_acc_spec(consts.shape),
+        ),
+        out_shape=(
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+            _sds((_SUBLANES, m_cols), dtype, vma),
+            _sds(geom.shape, dtype, vma),
+            _sds(mat.shape, dtype, vma),
+            _sds(consts.shape, dtype, vma),
+        ),
+        interpret=interpret,
+    )(o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts):
+    outs = _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts)
+    tex_hw = params[5]
+    # With an atlas: also return (flat texel ids, dww) so the caller can
+    # gather the texel colors and add the image-diffuse term outside.
+    return outs[:5] + (outs[8:] if tex_hw is not None else ())
+
+
+def _bounce_sub_vjp_fwd(params, o3, d3, thr, alive, acc, geom, mat, consts):
+    outs = _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts)
+    idx, hit, clear = outs[5], outs[6], outs[7]
+    primal = outs[:5] + (outs[8:] if params[5] is not None else ())
+    return primal, (o3, d3, thr, alive, idx, hit, clear, geom, mat, consts)
+
+
+def _bounce_sub_vjp_bwd(params, res, cots):
+    (o3, d3, thr, alive, idx, hit, clear, geom, mat, consts) = res
+    if params[5] is not None:
+        (g_o, g_d, g_thr, g_alive, g_acc, _g_flat, g_dww) = cots  # flat is int: float0
+        g_dww = jnp.asarray(g_dww, d3.dtype)
+    else:
+        (g_o, g_d, g_thr, g_alive, g_acc) = cots
+        g_dww = None
+    (go_in, gd_in, gthr_in, galive_in, ggeom, gmat, gconsts) = _bwd_call_sub(
+        params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts,
+        g_o, g_d, g_thr, g_alive, g_acc, g_dww,
+    )
+    # acc is a pure passthrough accumulator: g_acc_in = g_acc_out.
+    return (go_in, gd_in, gthr_in, galive_in, g_acc, ggeom, gmat, gconsts)
+
+
+_bounce_sub.defvjp(_bounce_sub_vjp_fwd, _bounce_sub_vjp_bwd)
+
+
+def trace_fused_smooth_sub(
+    origin: jax.Array,  # (N, 3) or (3,)
+    direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
+    scene: Scene,
+    cfg,  # RenderConfig
+    vma: frozenset | None = None,  # varying mesh axes when inside shard_map
+    transposed: bool = False,
+) -> jax.Array:
+    """Smooth-visibility trace via the sublane-packed fwd/bwd kernels."""
+    from .pallas_bounce import _ray_state_t
+
+    dtype = cfg.dtype
+    # Mosaic requires the trailing block dim divisible by 128: with 8
+    # sublane rows the tile must cover >= 1024 rays.  Smaller requested
+    # blocks round up (more padding, same semantics).
+    block = max(cfg.block_rays, _SUBLANES * 128)
+    if block % _SUBLANES:
+        raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
+    o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
+    n_pad = _round_up(d_t.shape[1], block)
+    if n_pad != d_t.shape[1]:
+        extra = n_pad - d_t.shape[1]
+        o_t = jnp.concatenate([o_t, jnp.broadcast_to(o_t[:, :1], (3, extra))], axis=1)
+        d_t = jnp.concatenate([d_t, jnp.broadcast_to(d_t[:, :1], (3, extra))], axis=1)
+    m_cols = n_pad // _SUBLANES
+
+    o3 = o_t.reshape(3, _SUBLANES, m_cols)
+    d3 = d_t.reshape(3, _SUBLANES, m_cols)
+
+    geom = _geometry_table(scene, dtype)
+    mat = _material_table(scene, dtype)[: scene.spheres.count]  # unpadded
+    consts = _consts_row(scene, dtype)
+    s_total = scene.spheres.count
+    s_cheap = s_total - scene.spheres.n_exact
+
+    atlas = scene.texture_atlas
+    textured = atlas.shape[1] > 1 or atlas.shape[2] > 1
+    tex_hw = (int(atlas.shape[1]), int(atlas.shape[2])) if textured else None
+    texels = jnp.asarray(atlas, dtype).reshape(-1, 3) if textured else None
+
+    params = (
+        cfg.faraway, s_cheap, s_total,
+        float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
+        tex_hw,
+        block, cfg.pallas_interpret,
+        frozenset(vma) if vma else None,
+    )
+
+    def bounce(carry, _):
+        o3, d3, thr, alive, acc = carry
+        out = _bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts)
+        if textured:
+            o3n, d3n, thr_n, alive_n, acc_n, flat, dww = out
+            # Image-diffuse term composed OUTSIDE the kernel: nearest-texel
+            # gather (zero gradient, like jax.grad of the XLA sampler)
+            # times the differentiable dww exported by the kernel.
+            tex_c = jnp.moveaxis(jnp.take(texels, flat, axis=0), -1, 0)  # (3, 8, M)
+            acc_n = acc_n + tex_c * dww[None]
+            return (o3n, d3n, thr_n, alive_n, acc_n), None
+        return out, None
+
+    init = (
+        o3,
+        d3,
+        jnp.ones((_SUBLANES, m_cols), dtype),
+        jnp.ones((_SUBLANES, m_cols), dtype),
+        jnp.zeros((3, _SUBLANES, m_cols), dtype),
+    )
+    if vma:
+        def to_varying(x):
+            missing = tuple(a for a in vma if a not in getattr(jax.typeof(x), "vma", frozenset()))
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        init = jax.tree_util.tree_map(to_varying, init)
+        geom, mat, consts = (to_varying(x) for x in (geom, mat, consts))
+    (_, _, _, _, acc), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    return acc.reshape(3, n_pad).T[:n]

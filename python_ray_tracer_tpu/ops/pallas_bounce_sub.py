@@ -171,9 +171,15 @@ def _sweep_loops(o, d, geom_ref, s_cheap, s_total, faraway, dtype, update):
 def _bounce_kernel_sub(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     geom_ref, mat_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out,
-    *, faraway: float, s_cheap: int, s_total: int, parts: str,
+    *xi_and_outs,
+    faraway: float, s_cheap: int, s_total: int, parts: str, stochastic: bool = False,
 ):
+    if stochastic:
+        xi_ref, *outs = xi_and_outs
+    else:
+        xi_ref = None
+        outs = list(xi_and_outs)
+    o_out, d_out, thr_out, alive_out, acc_out = outs
     dtype = o_ref.dtype
     o = (o_ref[0], o_ref[1], o_ref[2])  # (8, B) each
     d = (d_ref[0], d_ref[1], d_ref[2])
@@ -314,6 +320,32 @@ def _bounce_kernel_sub(
     ddn = 2.0 * _dot3(d, normal)
     refl = _normalize3(tuple(d[i] - normal[i] * ddn for i in range(3)))
 
+    if stochastic:
+        # Glossy continuation: reflect about a GGX-sampled microfacet
+        # (ops/vecmath.ggx_perturb_reflect, term-for-term).  xi comes from
+        # the host-side PRNG so renders replay bit-identically to the XLA
+        # stochastic path for the same seed.
+        xi1 = xi_ref[0]
+        xi2 = xi_ref[1]
+        alpha_s = m(_ROUGH) ** 2
+        tan2 = (alpha_s**2) * xi1 / jnp.maximum(1.0 - xi1, 1e-8)
+        cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t**2))
+        phi = (2.0 * jnp.pi) * xi2
+        # Branchless tangent frame (vecmath.orthonormal_basis).
+        s_sign = jnp.where(normal[2] >= 0, 1.0, -1.0)
+        a_b = -1.0 / (s_sign + normal[2])
+        b_b = normal[0] * normal[1] * a_b
+        t1v = (1.0 + s_sign * normal[0] * normal[0] * a_b, s_sign * b_b, -s_sign * normal[0])
+        t2v = (b_b, s_sign + normal[1] * normal[1] * a_b, -normal[1])
+        sc = sin_t * jnp.cos(phi)
+        ss = sin_t * jnp.sin(phi)
+        h = _normalize3(tuple(t1v[i] * sc + t2v[i] * ss + normal[i] * cos_t for i in range(3)))
+        dhn = 2.0 * _dot3(d, h)
+        r = _normalize3(tuple(d[i] - h[i] * dhn for i in range(3)))
+        above = _dot3(r, normal) > 0
+        refl = tuple(jnp.where(above, r[i], refl[i]) for i in range(3))
+
     for i in range(3):
         acc_out[i] = acc_ref[i] + color[i] * w
         o_out[i] = p_n[i]
@@ -346,12 +378,16 @@ def trace_fused_sub(
     cfg,  # RenderConfig
     transposed: bool = False,
     parts: str = "full",
+    key: jax.Array | None = None,  # PRNG key -> stochastic glossy bounces
 ) -> jax.Array:
     """Hard-visibility trace via the sublane-packed bounce kernel."""
     from .pallas_bounce import _ray_state_t
 
     dtype = cfg.dtype
-    block = cfg.block_rays
+    # Mosaic requires the trailing block dim divisible by 128: with 8
+    # sublane rows the tile must cover >= 1024 rays.  Smaller requested
+    # blocks round up (more padding, same semantics).
+    block = max(cfg.block_rays, _SUBLANES * 128)
     if block % _SUBLANES:
         raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
     o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
@@ -374,20 +410,23 @@ def trace_fused_sub(
     s_total = scene.spheres.count
     s_cheap = s_total - scene.spheres.n_exact
 
+    stochastic = key is not None and cfg.stochastic_roughness
     kernel = functools.partial(
         _bounce_kernel_sub,
         faraway=cfg.faraway,
         s_cheap=s_cheap,
         s_total=s_total,
         parts=parts,
+        stochastic=stochastic,
     )
     vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    xi_spec = [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)] if stochastic else []
     bounce_call = pl.pallas_call(
         kernel,
         grid=(m_cols // b_cols,),
-        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem],
+        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem] + xi_spec,
         out_specs=(vec, vec, lane, lane, vec),
         out_shape=(
             jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
@@ -400,6 +439,17 @@ def trace_fused_sub(
     )
 
     def bounce(carry, _):
+        if stochastic:
+            o3, d3, thr, alive, acc, k = carry
+            # EXACT key schedule of the XLA stochastic path (render.trace):
+            # split per bounce, uniform over the UNPADDED ray count.
+            k, k_bounce = jax.random.split(k)
+            xi = jax.random.uniform(k_bounce, (n, 2), dtype)
+            if n_pad != n:
+                xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+            xi3 = xi.T.reshape(2, _SUBLANES, m_cols)
+            out = bounce_call(o3, d3, thr, alive, acc, geom, mat, consts, xi3)
+            return out + (k,), None
         o3, d3, thr, alive, acc = carry
         return bounce_call(o3, d3, thr, alive, acc, geom, mat, consts), None
 
@@ -410,5 +460,7 @@ def trace_fused_sub(
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
     )
-    (_, _, _, _, acc), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
-    return acc.reshape(3, n_pad).T[:n]
+    if stochastic:
+        init = init + (key,)
+    final, _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    return final[4].reshape(3, n_pad).T[:n]

@@ -493,9 +493,9 @@ def shadow_parts_pallas(
     direction: jax.Array,
     center: jax.Array,  # (S_local, 3) — a sphere SHARD
     radius: jax.Array,
-    self_idx: jax.Array,  # (N,) int32 GLOBAL index; pass self_idx - offset
-    # pre-subtracted?  No: pass global minus shard offset so the in-kernel
-    # local iota comparison identifies self within this shard only.
+    self_idx: jax.Array,  # (N,) int32 LOCAL index (global minus the shard
+    # offset) — the in-kernel iota comparison identifies self within this
+    # shard only; out-of-range values never match (not-owned lanes).
     faraway: float,
     *,
     n_exact: int | None = None,

@@ -138,6 +138,10 @@ def texture_color(point: jax.Array, normal: jax.Array, mat: LaneMaterial, scene:
     # Equirectangular image texture (shape.py:68-81): UV from the unit
     # normal; nearest-texel gather from the atlas.  UV scales by each
     # texture's NATIVE (h, w) so padded atlas slots never sample padding.
+    # The lookup is piecewise-constant, so UV carries NO gradient; without
+    # the stop_gradient, asin'(+-1) = inf on pole/dead lanes turns the
+    # would-be zero cotangent into 0 * inf = NaN.
+    normal = jax.lax.stop_gradient(normal)
     ny = jnp.clip(normal[..., 1], -1.0, 1.0)  # guard asin on dead lanes
     u = 0.5 + jnp.arctan2(normal[..., 2], normal[..., 0]) / (2.0 * jnp.pi)
     v = 0.5 - jnp.arcsin(ny) / jnp.pi
@@ -194,7 +198,14 @@ def ggx_specular(
     dist = (alpha**2) / (jnp.pi * (denom**2 + eps))
 
     def g1(x_dot_n: jax.Array) -> jax.Array:
-        return 2.0 * x_dot_n / (x_dot_n + jnp.sqrt(alpha**2 + (1.0 - alpha**2) * (x_dot_n**2)) + eps)
+        # Double-where guards sqrt(0) (roughness 0 and grazing/back-facing
+        # x simultaneously): its backward is inf and the would-be-zero
+        # cotangent becomes 0 * inf = NaN, poisoning every upstream
+        # gradient.  Forward is bitwise unchanged.
+        arg = alpha**2 + (1.0 - alpha**2) * (x_dot_n**2)
+        pos = arg > 0
+        root = jnp.where(pos, jnp.sqrt(jnp.where(pos, arg, 1.0)), 0.0)
+        return 2.0 * x_dot_n / (x_dot_n + root + eps)
 
     geom = g1(n_dot_l) * g1(n_dot_v)
 

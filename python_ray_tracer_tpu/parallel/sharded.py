@@ -114,11 +114,16 @@ def trace_sharded(
         )
 
     geom_spec = P(SPHERE_AXIS) if sphere_sharded else P()
+    # Interpret-mode CI disables the varying-manual-axes checker: the
+    # pallas interpreter cannot thread mixed-vma kernel operands (sphere
+    # shard varying over 'spheres', ray state over 'rays') through its
+    # internal grid scan.  Compiled runs keep full VMA checking.
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(RAY_AXIS), geom_spec, geom_spec, P()),
         out_specs=P(RAY_AXIS),
+        check_vma=not cfg.pallas_interpret,
     )(dirs, scene.spheres.center, scene.spheres.radius, scene)
 
 

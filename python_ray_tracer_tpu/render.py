@@ -224,6 +224,32 @@ def _self_lookup(
     return val, owns
 
 
+def _combine_nearest_reduced(
+    t_l: jax.Array,  # (N,) per-shard reduced nearest t
+    idx_l: jax.Array,  # (N,) GLOBAL winning index within this shard
+    faraway: float,
+    sphere_axis: str,
+) -> NearestHit:
+    """Cross-shard nearest-hit combine on already-reduced per-shard results.
+
+    The fused Pallas sweep reduces over its shard's spheres in-kernel; this
+    finishes the reduction across the sphere mesh axis with the same AD
+    discipline as :func:`_combine_nearest`: selectors (pmin winners) on
+    stop_gradient'd values, the winning t re-masked from the live input and
+    psum'd so its gradient flows to exactly the owning shard's kernel VJP.
+    """
+    t_sg = jax.lax.stop_gradient(t_l)
+    t_pin = jax.lax.optimization_barrier(t_sg)  # one canonical copy (see _combine_nearest)
+    tmin_sel = jax.lax.pmin(t_pin, sphere_axis)
+    cand = jnp.where(t_pin == tmin_sel, idx_l, jnp.iinfo(jnp.int32).max)
+    idx = jax.lax.pmin(cand, sphere_axis)  # lowest global index wins ties
+    owns = idx_l == idx
+    t_val = jnp.where(owns, t_l, jnp.zeros_like(t_l))
+    tmin = jax.lax.psum(t_val, sphere_axis)
+    hit = tmin != jnp.asarray(faraway, t_l.dtype)
+    return NearestHit(t=tmin, idx=idx, hit=hit)
+
+
 def _shadow_hard(
     res: IntersectResult,
     idx: jax.Array,
@@ -349,23 +375,37 @@ def trace(
         sweep_radius = scene.spheres.radius
     smooth = cfg.visibility == VISIBILITY_SMOOTH
     atlas_dummy = scene.texture_atlas.shape[1] == 1 and scene.texture_atlas.shape[2] == 1
-    interp_sharded = cfg.pallas_interpret and ray_axis is not None
-    if smooth and cfg.use_pallas and sphere_axis is None and key is None and atlas_dummy and not interp_sharded:
-        # Fully-fused fwd+bwd smooth bounce (custom VJP); works inside
-        # shard_map via vma on the kernel outputs.  (Interpret mode inside
-        # shard_map trips the interpreter's own VMA handling — that
-        # configuration falls back to the XLA path below; the compiled
-        # kernels are exercised on hardware.)
-        from .ops.pallas_bounce_smooth import trace_fused_smooth
+    # Varying-axes are read from the operand TYPES, not the axis names:
+    # under ``shard_map(check_vma=False)`` (interpret-mode CI, where the
+    # pallas interpreter cannot thread mixed-vma operands) the types carry
+    # no vma and the kernels are called without vma annotations.
+    vma_dir = frozenset(getattr(jax.typeof(direction), "vma", frozenset()))
+    interp_sharded = cfg.pallas_interpret and ray_axis is not None and ray_axis in vma_dir
+    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
 
-        return trace_fused_smooth(
-            origin, direction, scene, cfg, vma={ray_axis} if ray_axis is not None else None
-        )
-    # The fused hard-visibility kernels cover the single-shard sweep
-    # (sphere sharding needs the collective combines).
-    fused = cfg.use_pallas and not smooth and sphere_axis is None and cfg.tie_mode == "first"
+    smooth_tex_ok = atlas_dummy or scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
+    if smooth and cfg.use_pallas and sphere_axis is None and key is None and smooth_tex_ok and not interp_sharded:
+        # Fully-fused fwd+bwd smooth bounce (custom VJP); works inside
+        # shard_map via vma on the kernel outputs (or with the checker
+        # disabled in interpret mode).  Image atlases are supported by the
+        # sublane kernels (in-kernel UV, external texel gather).
+        return _trace_smooth_fused(origin, direction, scene, cfg, vma=vma_dir or None)
+    # The fused hard-visibility kernels run per sphere shard; under sphere
+    # sharding the in-kernel reductions finish with the collective combines
+    # below (VERDICT r1 item 4).
+    fused = cfg.use_pallas and not smooth and cfg.tie_mode == "first"
     if fused:
-        from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas
+        from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas, shadow_parts_pallas
+    vma_sweep = frozenset(getattr(jax.typeof(sweep_center), "vma", frozenset()))
+    kvma = set(vma_dir) | set(vma_sweep)
+    sphere_vma_on = sphere_axis is not None and sphere_axis in vma_sweep
+
+    def _sphere_varying(x: jax.Array) -> jax.Array:
+        """Mark ray-state kernel operands varying over the sphere axis too
+        (every pallas_call operand must agree on the varying set)."""
+        if not sphere_vma_on or sphere_axis in getattr(jax.typeof(x), "vma", frozenset()):
+            return x
+        return jax.lax.pcast(x, (sphere_axis,), to="varying")
     stochastic = cfg.stochastic_roughness and key is not None
     # Double-shade exact nearest-hit ties (ref base.py:103,119 semantics).
     tie_sum = cfg.tie_mode == "sum" and not smooth and not fused
@@ -379,9 +419,9 @@ def trace(
 
         if fused:
             res = None
-            near = nearest_hit_pallas(
-                o,
-                d,
+            near_l = nearest_hit_pallas(
+                _sphere_varying(o),
+                _sphere_varying(d),
                 sweep_center,
                 sweep_radius,
                 cfg.faraway,
@@ -389,8 +429,14 @@ def trace(
                 block_rays=cfg.block_rays,
                 block_spheres=cfg.block_spheres,
                 interpret=cfg.pallas_interpret,
-                vma={ray_axis} if ray_axis is not None else None,
+                vma=kvma or None,
             )
+            if sphere_axis is None:
+                near = near_l
+            else:
+                near = _combine_nearest_reduced(
+                    near_l.t, near_l.idx + sphere_offset, cfg.faraway, sphere_axis
+                )
         else:
             res = _sweep(
                 o, d, sweep_center, sweep_radius, cfg,
@@ -420,19 +466,40 @@ def trace(
             # Visibility is a step function — constant under AD, exactly
             # like the XLA hard path's comparison (zero tangent).
             sg = jax.lax.stop_gradient
-            in_light = shadow_hard_pallas(
-                sg(p_nudged),
-                sg(to_light),
-                sg(sweep_center),
-                sg(sweep_radius),
-                idx,
-                cfg.faraway,
-                n_exact=scene.spheres.n_exact,
-                block_rays=cfg.block_rays,
-                block_spheres=cfg.block_spheres,
-                interpret=cfg.pallas_interpret,
-                vma={ray_axis} if ray_axis is not None else None,
-            )
+            if sphere_axis is None:
+                in_light = shadow_hard_pallas(
+                    sg(p_nudged),
+                    sg(to_light),
+                    sg(sweep_center),
+                    sg(sweep_radius),
+                    idx,
+                    cfg.faraway,
+                    n_exact=scene.spheres.n_exact,
+                    block_rays=cfg.block_rays,
+                    block_spheres=cfg.block_spheres,
+                    interpret=cfg.pallas_interpret,
+                    vma=kvma or None,
+                )
+            else:
+                # Per-shard (min over others, t of self) partials, then
+                # pmin combines — shader.py:127-128 semantics across the
+                # sphere mesh axis.
+                t_others_l, t_self_l = shadow_parts_pallas(
+                    _sphere_varying(sg(p_nudged)),
+                    _sphere_varying(sg(to_light)),
+                    sg(sweep_center),
+                    sg(sweep_radius),
+                    idx - sphere_offset,  # local index within this shard
+                    cfg.faraway,
+                    n_exact=scene.spheres.n_exact,
+                    block_rays=cfg.block_rays,
+                    block_spheres=cfg.block_spheres,
+                    interpret=cfg.pallas_interpret,
+                    vma=kvma or None,
+                )
+                t_others = jax.lax.pmin(t_others_l, sphere_axis)
+                t_self = jax.lax.pmin(t_self_l, sphere_axis)
+                in_light = (t_self <= t_others).astype(dtype)
         else:
             shadow_res = _sweep(
                 p_nudged, to_light, sweep_center, sweep_radius, cfg,
@@ -508,6 +575,23 @@ def trace(
     return final[4]
 
 
+def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=False):
+    """Dispatch between the two fused smooth implementations.
+
+    Small sphere tables take the sublane-packed kernels (full-width VPU
+    tiles, ~3x the lane kernels — see docs/PERF.md round-2 ledger); bigger
+    tables take the blocked lane kernels whose sweeps amortize over
+    (K, B) tiles.
+    """
+    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH, trace_fused_smooth_sub
+
+    if scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH:
+        return trace_fused_smooth_sub(origin, direction, scene, cfg, vma=vma, transposed=transposed)
+    from .ops.pallas_bounce_smooth import trace_fused_smooth
+
+    return trace_fused_smooth(origin, direction, scene, cfg, vma=vma, transposed=transposed)
+
+
 def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
     """The fully-fused bounce kernels cover: Pallas on, no ray chunking.
     Hard visibility uses the forward-only kernel (which samples image
@@ -517,7 +601,9 @@ def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
     atlas = scene.texture_atlas
     atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
     if cfg.visibility == VISIBILITY_SMOOTH:
-        tex_ok = atlas_dummy
+        from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
+
+        tex_ok = atlas_dummy or scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
     else:
         from .ops.pallas_bounce import MAX_FUSED_TEXELS
 
@@ -534,7 +620,15 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     over ray tiles, bounding peak memory at O(chunk * spheres) — how huge
     frames x huge sphere counts fit on one chip without the Pallas path.
     """
-    if _can_fuse_bounce(scene, cfg) and key is None:
+    from .ops.pallas_bounce_sub import MAX_SUB_SPHERES, trace_fused_sub
+
+    atlas = scene.texture_atlas
+    atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
+    sub_ok = atlas_dummy and scene.spheres.count <= MAX_SUB_SPHERES
+    # The sublane kernel covers stochastic glossy bounces (hard mode, xi
+    # fed from the host PRNG); everything else with a key falls back.
+    key_ok = key is None or (sub_ok and cfg.visibility != VISIBILITY_SMOOTH)
+    if _can_fuse_bounce(scene, cfg) and key_ok:
         # Lane-major (3, N) rays end to end — no 6 MB relayout per frame
         # (measured ~3 ms of fixed per-frame cost in the transposes).
         from .camera import ray_directions_t
@@ -542,9 +636,16 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
         jitter_t = None if jitter is None else jitter.T
         dirs_t = ray_directions_t(scene.camera, cfg.dtype, jitter_t)
         if cfg.visibility == VISIBILITY_SMOOTH:
-            from .ops.pallas_bounce_smooth import trace_fused_smooth
+            return _trace_smooth_fused(scene.camera.position, dirs_t, scene, cfg, transposed=True)
+        from .ops.pallas_culled import MAX_CULL_EXACT, MIN_CULL_SPHERES, trace_fused_culled
 
-            return trace_fused_smooth(scene.camera.position, dirs_t, scene, cfg, transposed=True)
+        s = scene.spheres.count
+        if key is None and atlas_dummy and s >= MIN_CULL_SPHERES and scene.spheres.n_exact <= MAX_CULL_EXACT:
+            # Big scene: per-tile candidate-list culling (the acceleration
+            # structure — O(candidates) per ray instead of O(S)).
+            return trace_fused_culled(scene.camera.position, dirs_t, scene, cfg, transposed=True)
+        if sub_ok:
+            return trace_fused_sub(scene.camera.position, dirs_t, scene, cfg, transposed=True, key=key)
         from .ops.pallas_bounce import trace_fused
 
         return trace_fused(scene.camera.position, dirs_t, scene, cfg, transposed=True)

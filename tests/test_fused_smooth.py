@@ -64,6 +64,58 @@ def test_gradient_parity(scene_fn, wh):
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
+def _atlas_scene(tmp_path, w=64, h=36):
+    import json
+
+    from python_ray_tracer_tpu.io import load_scene
+    from python_ray_tracer_tpu.utils.image import save_png
+
+    rng = np.random.default_rng(3)
+    save_png(rng.uniform(0.1, 1.0, (16, 32, 3)), tmp_path / "texa.png")
+    save_png(rng.uniform(0.1, 1.0, (8, 16, 3)), tmp_path / "texb.png")
+    scene_json = [
+        {"type": "Sphere", "centerXYZ": [0.2, 0.1, 3.0], "radius": 1.0,
+         "texture": "texa.png", "diffuse_gain": 0.9, "specular_gain": 0.3, "roughness": 0.2},
+        {"type": "Sphere", "centerXYZ": [-1.1, 0.0, 2.2], "radius": 0.5,
+         "texture": "texb.png", "diffuse_gain": 0.8},
+        {"type": "Sphere", "centerXYZ": [1.0, -0.3, 1.8], "radius": 0.4,
+         "colorRGB": [0.9, 0.3, 0.2], "diffuse_gain": 0.7, "specular_gain": 0.5, "roughness": 0.15},
+        {"type": "Light", "centerXYZ": [-2.0, 1.0, 2.0], "intensityRGB": [1, 1, 1]},
+        {"type": "DomeLight", "intensity": 0.1, "colorRGB": [1, 1, 1]},
+    ]
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(scene_json))
+    return load_scene(p, width=w, height=h, dtype=jnp.float32)
+
+
+def test_forward_parity_image_atlas(tmp_path):
+    """Image textures through the fused smooth path (in-kernel UV +
+    external texel gather) == the XLA smooth sampler."""
+    scene = _atlas_scene(tmp_path)
+    cfg_x, cfg_p = _cfgs()
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    diff = np.abs(b - a)
+    # polynomial atan2/asin vs libm: isolated UV-seam texels may differ
+    assert np.quantile(diff, 0.999) < 1e-3
+    assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_gradient_parity_image_atlas(tmp_path):
+    """Adjoint through the fused path on an atlas scene == jax.grad of the
+    XLA path (texel lookups are gradient-free in both)."""
+    scene = _atlas_scene(tmp_path, w=48, h=27)
+    cfg_x, cfg_p = _cfgs()
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
 def test_training_descends_through_fused_kernels():
     import optax
 
