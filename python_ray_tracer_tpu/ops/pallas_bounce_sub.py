@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene import Scene
 from .pallas_bounce import (
     _CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR,
-    _TFW, _TFT, _TFI, _KIND, _COLS, _NCONST, _material_table,
+    _TFW, _TFT, _TFI, _KIND, _TID, _TEXH, _TEXW, _COLS, _NCONST,
+    _asin_poly, _atan2_poly, _material_table,
 )
 from .pallas_intersect import _round_up
 from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
@@ -172,13 +173,16 @@ def _bounce_kernel_sub(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     geom_ref, mat_ref, const_ref,
     *xi_and_outs,
-    faraway: float, s_cheap: int, s_total: int, parts: str, stochastic: bool = False,
+    faraway: float, s_cheap: int, s_total: int, parts: str,
+    stochastic: bool = False, tex_hw: tuple | None = None,
 ):
     if stochastic:
         xi_ref, *outs = xi_and_outs
     else:
         xi_ref = None
         outs = list(xi_and_outs)
+    if tex_hw is not None:
+        *outs, flat_out, dww_out = outs
     o_out, d_out, thr_out, alive_out, acc_out = outs
     dtype = o_ref.dtype
     o = (o_ref[0], o_ref[1], o_ref[2])  # (8, B) each
@@ -209,10 +213,15 @@ def _bounce_kernel_sub(
             d_out[i] = d[i]
         thr_out[:, :] = thr
         alive_out[:, :] = alive * hit
+        if tex_hw is not None:
+            flat_out[:, :] = jnp.zeros(shape, jnp.int32)
+            dww_out[:, :] = jnp.zeros(shape, dtype)
         return
 
     # --- material select: per-sphere broadcast select of needed columns ---
     mcols = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
+    if tex_hw is not None:
+        mcols = mcols + (_TID, _TEXH, _TEXW)
     mat = {c: jnp.full(shape, mat_ref[0, c], dtype) for c in mcols}
     for k in range(1, s_total):
         sel = idx == k
@@ -268,8 +277,30 @@ def _bounce_kernel_sub(
     checker = (cx_i == cz_i).astype(dtype)
     is_checker = m(_KIND) == 1.0
     tex = tuple(jnp.where(is_checker, checker, m(c)) for c in (_DCR, _DCG, _DCB))
+    if tex_hw is not None:
+        # Image lanes: the kernel computes ONLY the flat texel index
+        # (polynomial equirect UV over native extents); the nearest-texel
+        # color is gathered OUTSIDE by XLA — no atlas size cap.  The
+        # in-kernel diffuse texture is zeroed for those lanes and
+        # dww = diffuse_weight * path_weight exported for the external
+        # composition (same scheme as the smooth kernels).
+        th_pad, tw_pad = tex_hw
+        is_image = m(_KIND) == 2.0
+        u = 0.5 + _atan2_poly(normal[2], normal[0]) / (2.0 * jnp.pi)
+        v = 0.5 - _asin_poly(normal[1]) / jnp.pi
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+        th_l = m(_TEXH)
+        tw_l = m(_TEXW)
+        ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, (tw_l - 1.0).astype(jnp.int32))
+        tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, (th_l - 1.0).astype(jnp.int32))
+        flat = m(_TID).astype(jnp.int32) * (th_pad * tw_pad) + tj * tw_pad + ti
+        flat_out[:, :] = jnp.where(is_image, flat, 0)
+        tex = tuple(jnp.where(is_image, jnp.zeros_like(t), t) for t in tex)
 
     diffuse_w = n_dot_l * in_light * m(_DG)
+    if tex_hw is not None:
+        dww_out[:, :] = jnp.where(is_image, diffuse_w * thr * coverage, jnp.zeros(shape, dtype))
 
     dome_up = jnp.maximum(normal[1], 0.0) * const(9)
     dome = (const(6) * dome_up, const(7) * dome_up, const(8) * dome_up)
@@ -410,6 +441,11 @@ def trace_fused_sub(
     s_total = scene.spheres.count
     s_cheap = s_total - scene.spheres.n_exact
 
+    atlas = scene.texture_atlas
+    textured = atlas.shape[1] > 1 or atlas.shape[2] > 1
+    tex_hw = (int(atlas.shape[1]), int(atlas.shape[2])) if textured else None
+    texels = jnp.asarray(atlas, dtype).reshape(-1, 3) if textured else None
+
     stochastic = key is not None and cfg.stochastic_roughness
     kernel = functools.partial(
         _bounce_kernel_sub,
@@ -418,25 +454,44 @@ def trace_fused_sub(
         s_total=s_total,
         parts=parts,
         stochastic=stochastic,
+        tex_hw=tex_hw,
     )
     vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     xi_spec = [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)] if stochastic else []
+    tex_specs = (lane, lane) if textured else ()
+    tex_shapes = (
+        (
+            jax.ShapeDtypeStruct((_SUBLANES, m_cols), jnp.int32),
+            jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
+        )
+        if textured
+        else ()
+    )
     bounce_call = pl.pallas_call(
         kernel,
         grid=(m_cols // b_cols,),
         in_specs=[vec, vec, lane, lane, vec, smem, smem, smem] + xi_spec,
-        out_specs=(vec, vec, lane, lane, vec),
+        out_specs=(vec, vec, lane, lane, vec) + tex_specs,
         out_shape=(
             jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
             jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
             jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
             jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
             jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
-        ),
+        )
+        + tex_shapes,
         interpret=cfg.pallas_interpret,
     )
+
+    def compose_tex(out):
+        """Add the image-diffuse term: external nearest-texel gather."""
+        if not textured:
+            return out
+        o3n, d3n, thr_n, alive_n, acc_n, flat, dww = out
+        tex_c = jnp.moveaxis(jnp.take(texels, flat, axis=0), -1, 0)  # (3, 8, M)
+        return (o3n, d3n, thr_n, alive_n, acc_n + tex_c * dww[None])
 
     def bounce(carry, _):
         if stochastic:
@@ -448,10 +503,10 @@ def trace_fused_sub(
             if n_pad != n:
                 xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
             xi3 = xi.T.reshape(2, _SUBLANES, m_cols)
-            out = bounce_call(o3, d3, thr, alive, acc, geom, mat, consts, xi3)
+            out = compose_tex(bounce_call(o3, d3, thr, alive, acc, geom, mat, consts, xi3))
             return out + (k,), None
         o3, d3, thr, alive, acc = carry
-        return bounce_call(o3, d3, thr, alive, acc, geom, mat, consts), None
+        return compose_tex(bounce_call(o3, d3, thr, alive, acc, geom, mat, consts)), None
 
     init = (
         o3,

@@ -55,6 +55,11 @@ from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 # to the sweeps they remove; below this the plain sublane kernel wins.
 MIN_CULL_SPHERES = 96
 MAX_CULL_EXACT = 8  # exact-tier spheres are swept unconditionally
+# Beyond this depth the blocked lane kernel wins (measured at config 4:
+# 0.287 vs 0.320 s): reflected bounces off curved mirrors scatter a
+# tile's direction cone over the sphere, so their nearest sweeps cannot
+# cull and the per-bounce candidate machinery is pure overhead.
+MAX_CULL_DEPTH = 2
 
 _MCOLS = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
 
@@ -124,12 +129,27 @@ def unpack_tiles(x3: jax.Array, b_cols: int) -> jax.Array:
     return x3.reshape(3, _SUBLANES, nt, b_cols).transpose(0, 2, 1, 3).reshape(3, m * _SUBLANES)
 
 
-def _tile_bounds(v3: jax.Array, b_cols: int) -> tuple[jax.Array, jax.Array]:
-    """Per-tile componentwise (lo, hi) of a (3, 8, M) state array -> (T, 3)."""
+def _tile_bounds(
+    v3: jax.Array, b_cols: int, valid: jax.Array | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Per-tile componentwise (lo, hi) of a (3, 8, M) state array -> (T, 3).
+
+    ``valid`` (8, M) masks lanes out of the bounds (identity elements for
+    min/max): miss lanes carry junk hit points that would inflate the
+    shadow-ray boxes to uselessness.  An all-dead tile yields lo > hi,
+    which the interval test maps to an empty candidate set — correct,
+    since no live ray exists there.
+    """
     m = v3.shape[2]
     t = m // b_cols
     v = v3.reshape(3, _SUBLANES, t, b_cols)
-    return v.min(axis=(1, 3)).T, v.max(axis=(1, 3)).T
+    if valid is None:
+        return v.min(axis=(1, 3)).T, v.max(axis=(1, 3)).T
+    big = jnp.asarray(1.0e30, v3.dtype)
+    vm = valid.reshape(1, _SUBLANES, t, b_cols)
+    lo = jnp.where(vm, v, big).min(axis=(1, 3)).T
+    hi = jnp.where(vm, v, -big).max(axis=(1, 3)).T
+    return lo, hi
 
 
 
@@ -137,7 +157,28 @@ def _tile_bounds(v3: jax.Array, b_cols: int) -> tuple[jax.Array, jax.Array]:
 # into (n_tiles, MAX_CAND, .) arrays the kernels slice per tile; a tile
 # whose conservative count exceeds the cap falls back to the full sweep
 # (cnt_full) — still exact, just unculled for that tile.
-MAX_CAND = 256
+MAX_CAND = 512
+
+# Unroll factor for the dynamic sphere loops: each scalar-indexed
+# candidate costs ~45 one-vreg vector ops; the serial scalar loads +
+# loop control around them don't pipeline (measured ~4x slowdown vs the
+# blocked sweep at one candidate per iteration).  Grouping U candidates
+# per iteration amortizes the scalar path.
+_UNROLL = 4
+
+
+def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
+    """fori_loop with a U-wide unrolled main loop + exact remainder."""
+    groups = cnt // unroll
+
+    def gbody(g, c):
+        j0 = g * unroll
+        for u in range(unroll):
+            c = body_one(j0 + u, c)
+        return c
+
+    carry = jax.lax.fori_loop(0, groups, gbody, carry)
+    return jax.lax.fori_loop(groups * unroll, cnt, body_one, carry)
 
 
 def candidate_lists(
@@ -146,6 +187,7 @@ def candidate_lists(
     center: jax.Array,  # (S_cheap, 3) cheap-tier spheres
     radius: jax.Array,  # (S_cheap,)
     b_cols: int,
+    valid: jax.Array | None = None,  # (8, M) lanes included in the bounds
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-tile capped candidate ids + loop counts.
 
@@ -156,8 +198,8 @@ def candidate_lists(
     everything, preserving conservativeness).
     """
     s_cheap = center.shape[0]
-    o_lo, o_hi = _tile_bounds(o3, b_cols)
-    d_lo, d_hi = _tile_bounds(d3, b_cols)
+    o_lo, o_hi = _tile_bounds(o3, b_cols, valid)
+    d_lo, d_hi = _tile_bounds(d3, b_cols, valid)
     mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius)  # (T, S)
     # Stable sort on (not mask): candidates first, each group ascending by
     # sphere index — the sequential min keeps lowest-index tie semantics.
@@ -231,8 +273,8 @@ def _near_kernel_culled(
         return jnp.where(take, t_k, tmin), jnp.where(take, k, imin)
 
     carry = (jnp.full(shape, far), jnp.zeros(shape, jnp.int32))
-    carry = jax.lax.fori_loop(0, cntc_ref[0, i], cand_body, carry)
-    tmin, imin = jax.lax.fori_loop(0, cntf_ref[0, i], full_body, carry)
+    carry = _unrolled_loop(cntc_ref[0, i], cand_body, carry)
+    tmin, imin = _unrolled_loop(cntf_ref[0, i], full_body, carry)
     for k in range(s_cheap, s_total):  # exact tier: always swept
         cx, cy, cz, r = _geom_scalars(geom_ref, k)
         t_k = _sphere_t_exact(o, d, cx, cy, cz, r, faraway, dtype)
@@ -284,8 +326,8 @@ def _shade_kernel_culled(
         return tuple(jnp.where(sel, mat_ref[col, k], mat_t[c]) for c, col in enumerate(_MCOLS))
 
     mat0 = tuple(jnp.full(shape, mat_ref[c, 0], dtype) for c in _MCOLS)
-    mat_t = jax.lax.fori_loop(0, cnta_ref[0, i], mat_cand_body, mat0)
-    mat_t = jax.lax.fori_loop(0, cntaf_ref[0, i], mat_full_body, mat_t)
+    mat_t = _unrolled_loop(cnta_ref[0, i], mat_cand_body, mat0)
+    mat_t = _unrolled_loop(cntaf_ref[0, i], mat_full_body, mat_t)
     for k in range(s_cheap, s_total):
         sel = idx == k
         mat_t = tuple(jnp.where(sel, mat_ref[col, k], mat_t[c]) for c, col in enumerate(_MCOLS))
@@ -335,8 +377,8 @@ def _shade_kernel_culled(
         )
 
     carry = (jnp.full(shape, big), jnp.full(shape, big))
-    carry = jax.lax.fori_loop(0, cntb_ref[0, i], shadow_cand_body, carry)
-    t_others, t_self = jax.lax.fori_loop(0, cntbf_ref[0, i], shadow_full_body, carry)
+    carry = _unrolled_loop(cntb_ref[0, i], shadow_cand_body, carry)
+    t_others, t_self = _unrolled_loop(cntbf_ref[0, i], shadow_full_body, carry)
     for k in range(s_cheap, s_total):
         cx, cy, cz, r = _geom_scalars(geom_ref, k)
         t_k = _sphere_t_exact(p_n, to_light, cx, cy, cz, r, faraway, dtype)
@@ -427,10 +469,10 @@ def trace_fused_culled(
     from .pallas_bounce import _ray_state_t
 
     dtype = cfg.dtype
-    # Mosaic requires the trailing block dim divisible by 128: with 8
-    # sublane rows the tile must cover >= 1024 rays.  Smaller requested
+    # 4096-ray tiles: per-candidate vector work spans 4 vregs per op, so
+    # the serial scalar candidate reads hide behind it; smaller requested
     # blocks round up (more padding, same semantics).
-    block = max(cfg.block_rays, _SUBLANES * 128)
+    block = max(cfg.block_rays, 4 * _SUBLANES * 128)
     if block % _SUBLANES:
         raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
     o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
@@ -500,10 +542,37 @@ def trace_fused_culled(
         ids = cand[:, :, None]  # (T, MAX_CAND, 1)
         return g, ids
 
-    def bounce(carry, _):
+    # Below this throughput a bounce cannot move the uint8 image (half a
+    # quantum is ~2e-3; color magnitudes are ~O(1)); tiles whose every
+    # lane is under it skip BOTH sweeps (their loop counts zero out).
+    dead_thr = 2e-4
+
+    def tile_live(thr):
+        t = thr.reshape(_SUBLANES, m_cols // b_cols, b_cols)
+        return (jnp.max(t, axis=(0, 2)) > dead_thr)[None, :]  # (1, T)
+
+    n_tiles_total = m_cols // b_cols
+
+    def bounce(carry, _, primary: bool):
         o3, d3, thr, alive, acc = carry
-        cand_a, cnt_a, cnt_af = candidate_lists(o3, d3, center_cheap, radius_cheap, b_cols)
-        g_a, id_a = gathered(cand_a)
+        live = tile_live(thr)
+        if primary:
+            cand_a, cnt_a, cnt_af = candidate_lists(o3, d3, center_cheap, radius_cheap, b_cols)
+            cnt_a = jnp.where(live, cnt_a, 0)
+            cnt_af = jnp.where(live, cnt_af, 0)
+            g_a, id_a = gathered(cand_a)
+            mat_a = jnp.take(mat16, cand_a, axis=0)  # (T, MAX_CAND, 16)
+        else:
+            # Reflected bounces: direction cones are wide (curved mirrors)
+            # so per-tile nearest culling finds ~everything — skip its
+            # build cost and run the (equally fast, unrolled) full sweep.
+            # The SHADOW rays still cull well at every depth: origins stay
+            # inside the tile's footprint and all aim at one light.
+            cnt_a = jnp.zeros((1, n_tiles_total), jnp.int32)
+            cnt_af = jnp.where(live, s_cheap, 0)
+            g_a = jnp.zeros((n_tiles_total, MAX_CAND, 4), dtype)
+            id_a = jnp.zeros((n_tiles_total, MAX_CAND, 1), jnp.int32)
+            mat_a = jnp.zeros((n_tiles_total, MAX_CAND, len(_MCOLS)), dtype)
         tmin, idx = near_call(o3, d3, g_a, id_a, cnt_a, cnt_af, geom_t)
 
         # XLA glue: winner geometry -> hit point, normal, shadow ray.
@@ -518,9 +587,15 @@ def trace_fused_culled(
         lv = light[:, None, None] - p
         to_light = lv / jnp.sqrt(jnp.sum(lv * lv, axis=0, keepdims=True))
 
-        cand_b, cnt_b, cnt_bf = candidate_lists(p_n, to_light, center_cheap, radius_cheap, b_cols)
+        # Shadow bounds consider only lanes that HIT something AND carry
+        # visible energy — miss/spent lanes' junk p_n would blow the box.
+        shadow_valid = hit & (thr * alive > dead_thr)
+        cand_b, cnt_b, cnt_bf = candidate_lists(
+            p_n, to_light, center_cheap, radius_cheap, b_cols, valid=shadow_valid
+        )
+        cnt_b = jnp.where(live, cnt_b, 0)
+        cnt_bf = jnp.where(live, cnt_bf, 0)
         g_b, id_b = gathered(cand_b)
-        mat_a = jnp.take(mat16, cand_a, axis=0)  # (T, MAX_CAND, 16)
         out = shade_call(
             o3, d3, thr, alive, acc, tmin, idx, p_n, to_light,
             mat_a, id_a, cnt_a, cnt_af, g_b, id_b, cnt_b, cnt_bf,
@@ -535,5 +610,10 @@ def trace_fused_culled(
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
     )
-    (_, _, _, _, acc), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    carry, _ = bounce(init, None, primary=True)
+    if cfg.max_depth > 1:
+        carry, _ = jax.lax.scan(
+            functools.partial(bounce, primary=False), carry, None, length=cfg.max_depth - 1
+        )
+    acc = carry[4]
     return unpack_tiles(acc, b_cols).T[:n]

@@ -606,8 +606,13 @@ def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
         tex_ok = atlas_dummy or scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
     else:
         from .ops.pallas_bounce import MAX_FUSED_TEXELS
+        from .ops.pallas_bounce_sub import MAX_SUB_SPHERES
 
-        tex_ok = atlas_dummy or atlas.shape[0] * atlas.shape[1] * atlas.shape[2] <= MAX_FUSED_TEXELS
+        tex_ok = (
+            atlas_dummy
+            or scene.spheres.count <= MAX_SUB_SPHERES  # sub kernel: no texel cap
+            or atlas.shape[0] * atlas.shape[1] * atlas.shape[2] <= MAX_FUSED_TEXELS
+        )
         if cfg.tie_mode != "first":
             return False  # double-shading ties needs the (N, S) tables
     return cfg.use_pallas and tex_ok and not cfg.ray_chunk
@@ -624,7 +629,9 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
 
     atlas = scene.texture_atlas
     atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
-    sub_ok = atlas_dummy and scene.spheres.count <= MAX_SUB_SPHERES
+    # The sublane kernel samples image atlases via the external texel
+    # gather — no atlas size cap.
+    sub_ok = scene.spheres.count <= MAX_SUB_SPHERES
     # The sublane kernel covers stochastic glossy bounces (hard mode, xi
     # fed from the host PRNG); everything else with a key falls back.
     key_ok = key is None or (sub_ok and cfg.visibility != VISIBILITY_SMOOTH)
@@ -637,12 +644,21 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
         dirs_t = ray_directions_t(scene.camera, cfg.dtype, jitter_t)
         if cfg.visibility == VISIBILITY_SMOOTH:
             return _trace_smooth_fused(scene.camera.position, dirs_t, scene, cfg, transposed=True)
-        from .ops.pallas_culled import MAX_CULL_EXACT, MIN_CULL_SPHERES, trace_fused_culled
+        from .ops.pallas_culled import MAX_CULL_DEPTH, MAX_CULL_EXACT, MIN_CULL_SPHERES, trace_fused_culled
 
         s = scene.spheres.count
-        if key is None and atlas_dummy and s >= MIN_CULL_SPHERES and scene.spheres.n_exact <= MAX_CULL_EXACT:
-            # Big scene: per-tile candidate-list culling (the acceleration
-            # structure — O(candidates) per ray instead of O(S)).
+        if (
+            key is None
+            and atlas_dummy
+            and s >= MIN_CULL_SPHERES
+            and scene.spheres.n_exact <= MAX_CULL_EXACT
+            and cfg.max_depth <= MAX_CULL_DEPTH
+        ):
+            # Big scene, shallow depth: per-tile candidate-list culling
+            # (O(candidates) per primary ray).  Deep renders keep the
+            # blocked lane kernel: reflected bounces off curved mirrors
+            # are tile-incoherent, so their sweeps can't cull and the
+            # blocked O(N*S) sweep is faster (measured — docs/PERF.md).
             return trace_fused_culled(scene.camera.position, dirs_t, scene, cfg, transposed=True)
         if sub_ok:
             return trace_fused_sub(scene.camera.position, dirs_t, scene, cfg, transposed=True, key=key)

@@ -55,12 +55,31 @@ def test_candidate_lists_conservative_and_useful():
 
 
 def test_culled_render_matches_xla():
-    """End-to-end: culled split kernels == XLA sweep at 256 spheres."""
+    """End-to-end: culled split kernels == XLA sweep at 256 spheres
+    (depth 2 routes through the culled path; see MAX_CULL_DEPTH)."""
     scene = random_spheres_scene(n_spheres=256, width=96, height=54)
-    cfg_x = RenderConfig(max_depth=3, dtype=jnp.float32)
-    cfg_p = RenderConfig(max_depth=3, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=512)
+    cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=512)
     exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x))
     got = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_p))
     diff = np.abs(got - exp)
     assert np.quantile(diff, 0.999) < 1e-3
+    assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_culled_deep_render_matches_xla():
+    """Depth 4 exercises the peeled primary bounce + full-sweep secondary
+    bounces of trace_fused_culled directly (production routes deep renders
+    to the lane kernel, so call the culled path explicitly)."""
+    from python_ray_tracer_tpu.camera import ray_directions
+    from python_ray_tracer_tpu.ops.pallas_culled import trace_fused_culled
+
+    scene = random_spheres_scene(n_spheres=192, width=64, height=36)
+    cfg_x = RenderConfig(max_depth=4, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=4, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=512)
+    exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x)).reshape(-1, 3)
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+    got = np.asarray(trace_fused_culled(scene.camera.position, dirs, scene, cfg_p))
+    diff = np.abs(got - exp)
+    assert np.quantile(diff, 0.999) < 2e-3  # energy-cut tiles may differ sub-quantum
     assert (diff > 1e-2).mean() < 1e-3

@@ -156,6 +156,39 @@ def test_image_texture_in_fused_kernel(tmp_path):
     assert (diff > 1e-2).mean() < 1e-3
 
 
+def test_image_texture_hard_sub_kernel(tmp_path):
+    """Hard sublane kernel with an image atlas LARGER than the lane
+    kernel's 32k-texel in-kernel cap: the external texel gather has no
+    size limit.  Must match the XLA sampler."""
+    import json
+
+    from python_ray_tracer_tpu.io import load_scene
+    from python_ray_tracer_tpu.utils.image import save_png
+
+    rng = np.random.default_rng(9)
+    save_png(rng.uniform(0, 1, (128, 512, 3)), tmp_path / "big.png")  # 64k texels
+    scene_json = [
+        {"type": "Sphere", "centerXYZ": [0.0, 0.0, 3.0], "radius": 1.0,
+         "texture": "big.png", "diffuse_gain": 1.0, "specular_gain": 0.2, "roughness": 0.2},
+        {"type": "Sphere", "centerXYZ": [-1.2, 0.2, 2.0], "radius": 0.5,
+         "colorRGB": [0.9, 0.2, 0.2], "diffuse_gain": 0.8},
+        {"type": "Light", "centerXYZ": [-2.0, 1.0, 2.0], "intensityRGB": [1, 1, 1]},
+        {"type": "DomeLight", "intensity": 0.1, "colorRGB": [1, 1, 1]},
+    ]
+    path = tmp_path / "scene.json"
+    path.write_text(json.dumps(scene_json))
+    scene = load_scene(path, width=96, height=54, dtype=jnp.float32)
+    assert scene.texture_atlas.shape[1] * scene.texture_atlas.shape[2] > 32768
+
+    cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True, pallas_interpret=True, block_rays=1024)
+    exp = np.asarray(render(scene, cfg_x))
+    got = np.asarray(render(scene, cfg_p))
+    diff = np.abs(got - exp)
+    assert np.quantile(diff, 0.999) < 1e-3  # UV-seam lanes may round differently
+    assert (diff > 1e-2).mean() < 1e-3
+
+
 def test_rays_inside_spheres_parity():
     """Rays originating inside spheres (the reference picks the positive
     t1 root, shape.py:44-48): fused kernel == XLA on hit decisions."""
