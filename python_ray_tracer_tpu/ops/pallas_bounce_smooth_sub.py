@@ -22,9 +22,11 @@ product adjoint is a scalar sphere loop; sphere-side gradients reduce the
 full tile to scalars accumulated in SMEM outputs.  Gradients match
 ``jax.grad`` of the XLA path (tests/test_fused_smooth_sub.py).
 
-Scope: const/checker textures, deterministic mirror bounces, single
-shard, ``S <= MAX_SUB_SPHERES_SMOOTH`` (the loops unroll per sphere;
-bigger tables route to the blocked lane kernel).
+Scope: const/checker/image textures, deterministic mirror AND stochastic
+glossy (GGX-perturbed, host-fed xi) continuations — both with handwritten
+adjoints — single shard or inside shard_map, ``S <=
+MAX_SUB_SPHERES_SMOOTH`` (the loops unroll per sphere; bigger tables
+route to the blocked lane kernel, deterministic only).
 """
 
 from __future__ import annotations
@@ -85,9 +87,9 @@ class _FwdSub:
     one-hot matmuls).
     """
 
-    def __init__(self, o, d, thr, alive, refs, params, saved=None):
+    def __init__(self, o, d, thr, alive, refs, params, saved=None, xi=None):
         (geom_ref, mat_ref, const_ref) = refs
-        (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params
+        (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params[:6]
         self.tex_hw = tex_hw  # (padded TH, TW) of the atlas, or None
         dtype = o[0].dtype
         shape = o[0].shape
@@ -282,6 +284,49 @@ class _FwdSub:
         self.u = tuple(d[i] - self.normal[i] * self.ddn for i in range(3))
         self.refl, self.u_mag = _norm3(self.u)
 
+        # Stochastic glossy continuation (ops/vecmath.ggx_perturb_reflect
+        # term-for-term, like the hard sublane kernel): reflect about a
+        # GGX-sampled microfacet half-vector.  Every intermediate is kept
+        # as an attribute so the handwritten adjoint can chain through it.
+        self.xi = xi
+        if xi is not None:
+            xi1, xi2 = xi
+            self.t2q = (self.alpha**2) * xi1 / jnp.maximum(1.0 - xi1, 1e-8)
+            self.cos_t = 1.0 / jnp.sqrt(1.0 + self.t2q)
+            self.sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - self.cos_t**2))
+            phi = (2.0 * jnp.pi) * xi2
+            self.cphi = jnp.cos(phi)
+            self.sphi = jnp.sin(phi)
+            nrm = self.normal
+            self.s_sign = jnp.where(nrm[2] >= 0, 1.0, -1.0)
+            self.a_b = -1.0 / (self.s_sign + nrm[2])
+            self.b_b = nrm[0] * nrm[1] * self.a_b
+            self.t1v = (
+                1.0 + self.s_sign * nrm[0] * nrm[0] * self.a_b,
+                self.s_sign * self.b_b,
+                -self.s_sign * nrm[0],
+            )
+            self.t2v = (self.b_b, self.s_sign + nrm[1] * nrm[1] * self.a_b, -nrm[1])
+            self.sc = self.sin_t * self.cphi
+            self.ss = self.sin_t * self.sphi
+            hw = tuple(
+                self.t1v[i] * self.sc + self.t2v[i] * self.ss + nrm[i] * self.cos_t
+                for i in range(3)
+            )
+            self.hvec, self.hw_mag = _norm3(hw)
+            self.dhn = 2.0 * _dot3(d, self.hvec)
+            ur = tuple(d[i] - self.hvec[i] * self.dhn for i in range(3))
+            self.r_pert, self.r_mag = _norm3(ur)
+            # Below-surface samples fall back to the mirror (vecmath's
+            # `above` guard); the gate is piecewise-constant, recomputed in
+            # the backward pass like spec_gate.
+            self.pert = _dot3(self.r_pert, nrm) > 0
+            self.dout = tuple(
+                jnp.where(self.pert, self.r_pert[i], self.refl[i]) for i in range(3)
+            )
+        else:
+            self.dout = self.refl
+
     def m(self, col):
         return self.mat[col]
 
@@ -289,17 +334,26 @@ class _FwdSub:
 def _fwd_kernel_sub(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref,
     geom_ref, mat_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out, clear_out,
-    *tex_outs,
+    *rest,
     params,
 ):
+    stoch = params[6]
+    if stoch:
+        xi_ref, *rest = rest
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+        rest = list(rest)
+    (o_out, d_out, thr_out, alive_out, acc_out, idx_out, hit_out, clear_out, *tex_outs) = rest
     o = (o_ref[0], o_ref[1], o_ref[2])
     d = (d_ref[0], d_ref[1], d_ref[2])
-    f = _FwdSub(o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params)
+    f = _FwdSub(
+        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params, xi=xi
+    )
     for i in range(3):
         acc_out[i] = acc_ref[i] + f.color[i] * f.w
         o_out[i] = f.p_n[i]
-        d_out[i] = f.refl[i]
+        d_out[i] = f.dout[i]
     thr_out[:, :] = f.thr_out
     alive_out[:, :] = f.alive_out
     idx_out[:, :] = f.idx
@@ -316,13 +370,19 @@ def _bwd_kernel_sub(
     *refs,
     params,
 ):
-    (faraway, s_cheap, s_total, _, _, tex_hw) = params
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch) = params
     (
         o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
         geom_ref, mat_ref, const_ref,
-        go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref,
-    ) = refs[:15]
-    rest = refs[15:]
+    ) = refs[:10]
+    rest = refs[10:]
+    if stoch:
+        xi_ref, *rest = rest
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+    (go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref) = rest[:5]
+    rest = rest[5:]
     if tex_hw is not None:
         gdww_ref = rest[0]
         rest = rest[1:]
@@ -334,13 +394,14 @@ def _bwd_kernel_sub(
     d = (d_ref[0], d_ref[1], d_ref[2])
     saved = (idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :])
     f = _FwdSub(
-        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params, saved=saved
+        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params,
+        saved=saved, xi=xi,
     )
     dtype = f.dtype
     m = f.m
     step = pl.program_id(0)
 
-    g_refl = (gd_ref[0], gd_ref[1], gd_ref[2])
+    g_dout = (gd_ref[0], gd_ref[1], gd_ref[2])
     g_o_out = (go_ref[0], go_ref[1], go_ref[2])
     g_acc = (gacc_ref[0], gacc_ref[1], gacc_ref[2])
     g_thr_o = gthr_ref[:, :]
@@ -372,6 +433,57 @@ def _bwd_kernel_sub(
     g_clear = 0.5 * m(_SG) * g_rc
     g_coverage = g_alive_o + g_w * f.thr
     g_thr_in = g_w * f.coverage
+
+    # --- continuation-direction adjoint -------------------------------
+    # Deterministic: dout = refl = u/|u|.  Stochastic: dout =
+    # where(pert, r_pert, refl); split the cotangent by the (recomputed,
+    # piecewise-constant) pert gate and chain each branch.
+    g_A_pert = None
+    if stoch:
+        pertf = f.pert
+        g_refl = tuple(jnp.where(pertf, 0.0, g_dout[i]) for i in range(3))
+        g_r = tuple(jnp.where(pertf, g_dout[i], 0.0) for i in range(3))
+        # r_pert = ur/|ur|, ur = d - hvec*dhn, dhn = 2 d.hvec
+        rdotp = sum(f.r_pert[i] * g_r[i] for i in range(3))
+        inv_rmag = 1.0 / jnp.maximum(f.r_mag, _EPS_DEN)
+        g_ur = tuple((g_r[i] - f.r_pert[i] * rdotp) * inv_rmag for i in range(3))
+        g_d_p = [g_ur[i] for i in range(3)]
+        g_dhn = -sum(f.hvec[i] * g_ur[i] for i in range(3))
+        g_h = [-f.dhn * g_ur[i] for i in range(3)]
+        for i in range(3):
+            g_d_p[i] = g_d_p[i] + 2.0 * f.hvec[i] * g_dhn
+            g_h[i] = g_h[i] + 2.0 * d[i] * g_dhn
+        # hvec = hw/|hw|, hw = t1v*sc + t2v*ss + normal*cos_t
+        hdotp = sum(f.hvec[i] * g_h[i] for i in range(3))
+        inv_wmag = 1.0 / jnp.maximum(f.hw_mag, _EPS_DEN)
+        g_wv = tuple((g_h[i] - f.hvec[i] * hdotp) * inv_wmag for i in range(3))
+        g_sc = sum(f.t1v[i] * g_wv[i] for i in range(3))
+        g_ss = sum(f.t2v[i] * g_wv[i] for i in range(3))
+        g_cos = sum(f.normal[i] * g_wv[i] for i in range(3))
+        g_t1 = tuple(f.sc * g_wv[i] for i in range(3))
+        g_t2 = tuple(f.ss * g_wv[i] for i in range(3))
+        g_n_p = [f.cos_t * g_wv[i] for i in range(3)]
+        # Branchless tangent frame (s piecewise-constant; a = -1/(s+nz),
+        # da/dnz = a^2; b = nx*ny*a).
+        sgn, ab = f.s_sign, f.a_b
+        nrm = f.normal
+        g_bb = sgn * g_t1[1] + g_t2[0]
+        g_ab = sgn * nrm[0] * nrm[0] * g_t1[0] + nrm[1] * nrm[1] * g_t2[1] + nrm[0] * nrm[1] * g_bb
+        g_n_p[0] = g_n_p[0] + 2.0 * sgn * nrm[0] * ab * g_t1[0] - sgn * g_t1[2] + nrm[1] * ab * g_bb
+        g_n_p[1] = g_n_p[1] + nrm[0] * ab * g_bb + 2.0 * nrm[1] * ab * g_t2[1] - g_t2[2]
+        g_n_p[2] = g_n_p[2] + ab * ab * g_ab
+        # sc/ss -> sin_t; sin_t = sqrt(max(0, 1-cos^2)) (gated: at
+        # roughness -> 0 the slope is infinite but the sample is the
+        # mirror; zeroing matches the piecewise-constant gate treatment)
+        g_sin = f.cphi * g_sc + f.sphi * g_ss
+        sin_pos = f.sin_t > 1e-6
+        g_cos = g_cos + jnp.where(sin_pos, -f.cos_t / jnp.maximum(f.sin_t, 1e-6), 0.0) * g_sin
+        # cos_t = (1+t2q)^(-1/2); t2q = alpha^2 xi1/max(1-xi1, 1e-8)
+        g_t2q = -0.5 * f.cos_t**3 * g_cos
+        xi1 = f.xi[0]
+        g_A_pert = 2.0 * f.alpha * xi1 / jnp.maximum(1.0 - xi1, 1e-8) * g_t2q
+    else:
+        g_refl = g_dout
     rdot = sum(f.refl[i] * g_refl[i] for i in range(3))
     inv_umag = 1.0 / jnp.maximum(f.u_mag, _EPS_DEN)
     g_u = tuple((g_refl[i] - f.refl[i] * rdot) * inv_umag for i in range(3))
@@ -381,6 +493,10 @@ def _bwd_kernel_sub(
     for i in range(3):
         g_d_acc[i] = g_d_acc[i] + 2.0 * f.normal[i] * g_ddn
         g_n_acc[i] = g_n_acc[i] + 2.0 * d[i] * g_ddn
+    if stoch:
+        for i in range(3):
+            g_d_acc[i] = g_d_acc[i] + g_d_p[i]
+            g_n_acc[i] = g_n_acc[i] + g_n_p[i]
 
     g_tex = tuple(g_color[i] * f.dw for i in range(3))
     g_dw = sum(g_color[i] * f.tex[i] for i in range(3))
@@ -420,7 +536,7 @@ def _bwd_kernel_sub(
     A = f.alpha
     g_g1l = g_geom * f.g1v
     g_g1v = g_geom * f.g1l
-    g_A = jnp.zeros_like(A)
+    g_A = jnp.zeros_like(A) if g_A_pert is None else g_A_pert
 
     def g1_adj(x, R, g1, g_g1):
         Rs = jnp.maximum(R, _EPS_DEN)
@@ -613,14 +729,21 @@ def _sds(shape, dtype, vma):
     return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
 
 
-def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, block_rays, interpret, vma) = params
+def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
     lane, vec, smem = _specs_sub(block_rays)
     kernel = functools.partial(
-        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw)
+        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch)
     )
     dtype = d3.dtype
+    b_cols = block_rays // _SUBLANES
+    xi_spec = (
+        [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        if stoch
+        else []
+    )
+    xi_in = (xi3,) if stoch else ()
     tex_specs = (lane, lane) if tex_hw is not None else ()
     tex_shapes = (
         (_sds((_SUBLANES, m_cols), jnp.int32, vma), _sds((_SUBLANES, m_cols), dtype, vma))
@@ -630,7 +753,7 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts):
     return pl.pallas_call(
         kernel,
         grid=(m_cols // (block_rays // _SUBLANES),),
-        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem],
+        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem] + xi_spec,
         out_specs=(vec, vec, lane, lane, vec, lane, lane, lane) + tex_specs,
         out_shape=(
             _sds((3, _SUBLANES, m_cols), dtype, vma),
@@ -644,17 +767,24 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts):
         )
         + tex_shapes,
         interpret=interpret,
-    )(o3, d3, thr, alive, acc, geom, mat, consts)
+    )(o3, d3, thr, alive, acc, geom, mat, consts, *xi_in)
 
 
-def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, block_rays, interpret, vma) = params
+def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None, xi3=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
     lane, vec, smem = _specs_sub(block_rays)
     kernel = functools.partial(
-        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw)
+        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch)
     )
     dtype = d3.dtype
+    b_cols = block_rays // _SUBLANES
+    xi_spec = (
+        [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        if stoch
+        else []
+    )
+    xi_in = (xi3,) if stoch else ()
     tex_in = (g_dww,) if tex_hw is not None else ()
     return pl.pallas_call(
         kernel,
@@ -662,6 +792,9 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
         in_specs=[
             vec, vec, lane, lane, lane, lane, lane,  # saved (+idx, hit, clear)
             smem, smem, smem,  # tables
+        ]
+        + xi_spec
+        + [
             vec, vec, lane, lane, vec,  # cotangents
         ]
         + ([lane] if tex_hw is not None else []),
@@ -681,7 +814,7 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
             _sds(consts.shape, dtype, vma),
         ),
         interpret=interpret,
-    )(o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
+    )(o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, *xi_in, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -719,6 +852,42 @@ def _bounce_sub_vjp_bwd(params, res, cots):
 _bounce_sub.defvjp(_bounce_sub_vjp_fwd, _bounce_sub_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bounce_sub_stoch(params, o3, d3, thr, alive, acc, xi3, geom, mat, consts):
+    """Stochastic-roughness bounce: xi (2, 8, M) uniforms drive the GGX
+    microfacet perturbation of the mirror continuation; its adjoint chains
+    through the perturbation (xi itself is a constant sample)."""
+    outs = _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=xi3)
+    tex_hw = params[5]
+    return outs[:5] + (outs[8:] if tex_hw is not None else ())
+
+
+def _bounce_sub_stoch_vjp_fwd(params, o3, d3, thr, alive, acc, xi3, geom, mat, consts):
+    outs = _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=xi3)
+    idx, hit, clear = outs[5], outs[6], outs[7]
+    primal = outs[:5] + (outs[8:] if params[5] is not None else ())
+    return primal, (o3, d3, thr, alive, idx, hit, clear, xi3, geom, mat, consts)
+
+
+def _bounce_sub_stoch_vjp_bwd(params, res, cots):
+    (o3, d3, thr, alive, idx, hit, clear, xi3, geom, mat, consts) = res
+    if params[5] is not None:
+        (g_o, g_d, g_thr, g_alive, g_acc, _g_flat, g_dww) = cots
+        g_dww = jnp.asarray(g_dww, d3.dtype)
+    else:
+        (g_o, g_d, g_thr, g_alive, g_acc) = cots
+        g_dww = None
+    (go_in, gd_in, gthr_in, galive_in, ggeom, gmat, gconsts) = _bwd_call_sub(
+        params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts,
+        g_o, g_d, g_thr, g_alive, g_acc, g_dww, xi3=xi3,
+    )
+    # xi is a (gradient-free) random sample: zero cotangent.
+    return (go_in, gd_in, gthr_in, galive_in, g_acc, jnp.zeros_like(xi3), ggeom, gmat, gconsts)
+
+
+_bounce_sub_stoch.defvjp(_bounce_sub_stoch_vjp_fwd, _bounce_sub_stoch_vjp_bwd)
+
+
 def trace_fused_smooth_sub(
     origin: jax.Array,  # (N, 3) or (3,)
     direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
@@ -726,6 +895,7 @@ def trace_fused_smooth_sub(
     cfg,  # RenderConfig
     vma: frozenset | None = None,  # varying mesh axes when inside shard_map
     transposed: bool = False,
+    key: jax.Array | None = None,  # PRNG key: stochastic glossy roughness
 ) -> jax.Array:
     """Smooth-visibility trace via the sublane-packed fwd/bwd kernels."""
     from .pallas_bounce import _ray_state_t
@@ -759,26 +929,44 @@ def trace_fused_smooth_sub(
     tex_hw = (int(atlas.shape[1]), int(atlas.shape[2])) if textured else None
     texels = jnp.asarray(atlas, dtype).reshape(-1, 3) if textured else None
 
+    stochastic = key is not None and cfg.stochastic_roughness
     params = (
         cfg.faraway, s_cheap, s_total,
         float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
-        tex_hw,
+        tex_hw, stochastic,
         block, cfg.pallas_interpret,
         frozenset(vma) if vma else None,
     )
 
+    def compose_tex(out):
+        if not textured:
+            return out
+        o3n, d3n, thr_n, alive_n, acc_n, flat, dww = out
+        # Image-diffuse term composed OUTSIDE the kernel: nearest-texel
+        # gather (zero gradient, like jax.grad of the XLA sampler)
+        # times the differentiable dww exported by the kernel.
+        tex_c = jnp.moveaxis(jnp.take(texels, flat, axis=0), -1, 0)  # (3, 8, M)
+        return (o3n, d3n, thr_n, alive_n, acc_n + tex_c * dww[None])
+
     def bounce(carry, _):
+        if stochastic:
+            o3, d3, thr, alive, acc, k = carry
+            # EXACT seed schedule of the XLA stochastic path (render.trace):
+            # stateless fold per bounce (ops/rng.py), uniforms over the
+            # UNPADDED ray count.
+            from .rng import fold_seed, uniform2
+
+            k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
+            xi = uniform2(k_bounce, n, dtype)
+            if n_pad != n:
+                xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+            xi3 = xi.T.reshape(2, _SUBLANES, m_cols)
+            out = compose_tex(
+                _bounce_sub_stoch(params, o3, d3, thr, alive, acc, xi3, geom, mat, consts)
+            )
+            return out + (k,), None
         o3, d3, thr, alive, acc = carry
-        out = _bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts)
-        if textured:
-            o3n, d3n, thr_n, alive_n, acc_n, flat, dww = out
-            # Image-diffuse term composed OUTSIDE the kernel: nearest-texel
-            # gather (zero gradient, like jax.grad of the XLA sampler)
-            # times the differentiable dww exported by the kernel.
-            tex_c = jnp.moveaxis(jnp.take(texels, flat, axis=0), -1, 0)  # (3, 8, M)
-            acc_n = acc_n + tex_c * dww[None]
-            return (o3n, d3n, thr_n, alive_n, acc_n), None
-        return out, None
+        return compose_tex(_bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts)), None
 
     init = (
         o3,
@@ -787,12 +975,18 @@ def trace_fused_smooth_sub(
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
     )
+    if stochastic:
+        init = init + (key,)
     if vma:
         def to_varying(x):
             missing = tuple(a for a in vma if a not in getattr(jax.typeof(x), "vma", frozenset()))
             return jax.lax.pcast(x, missing, to="varying") if missing else x
 
-        init = jax.tree_util.tree_map(to_varying, init)
+        # The PRNG key (stochastic carry tail) stays replicated: each shard
+        # draws the full xi array and slices its rays implicitly via the
+        # ray packing, so no pcast on the uint key.
+        init = tuple(jax.tree_util.tree_map(to_varying, x) for x in init[:5]) + init[5:]
         geom, mat, consts = (to_varying(x) for x in (geom, mat, consts))
-    (_, _, _, _, acc), _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    final, _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
+    acc = final[4]
     return acc.reshape(3, n_pad).T[:n]

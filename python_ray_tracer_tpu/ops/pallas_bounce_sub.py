@@ -496,10 +496,13 @@ def trace_fused_sub(
     def bounce(carry, _):
         if stochastic:
             o3, d3, thr, alive, acc, k = carry
-            # EXACT key schedule of the XLA stochastic path (render.trace):
-            # split per bounce, uniform over the UNPADDED ray count.
-            k, k_bounce = jax.random.split(k)
-            xi = jax.random.uniform(k_bounce, (n, 2), dtype)
+            # EXACT seed schedule of the XLA stochastic path (render.trace):
+            # stateless fold per bounce (ops/rng.py), uniforms over the
+            # UNPADDED ray count.
+            from .rng import fold_seed, uniform2
+
+            k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
+            xi = uniform2(k_bounce, n, dtype)
             if n_pad != n:
                 xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
             xi3 = xi.T.reshape(2, _SUBLANES, m_cols)

@@ -72,7 +72,13 @@ def ggx_perturb_reflect(
     xi2 = xi[..., 1:2]
     tan2 = (alpha**2) * xi1 / jnp.maximum(1.0 - xi1, 1e-8)
     cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t**2))
+    # Double-where the sqrt: at tiny roughness cos_t collapses to 1.0 in
+    # f32 and sqrt'(0) = inf would poison the gradient (0*inf = NaN); the
+    # sample is then the exact mirror, whose derivative the mirror branch
+    # already carries, so a zero slope here is the correct limit.
+    sin2 = jnp.maximum(0.0, 1.0 - cos_t**2)
+    sin_pos = sin2 > 0
+    sin_t = jnp.where(sin_pos, jnp.sqrt(jnp.where(sin_pos, sin2, 1.0)), 0.0)
     phi = (2.0 * jnp.pi) * xi2
     t1, t2 = orthonormal_basis(normal)
     h = normalize(t1 * (sin_t * jnp.cos(phi)) + t2 * (sin_t * jnp.sin(phi)) + normal * cos_t)

@@ -412,8 +412,10 @@ def trace(
 
     def bounce(carry, _):
         if stochastic:
+            from .ops.rng import fold_seed
+
             o, d, throughput, alive, accum, k = carry
-            k, k_bounce = jax.random.split(k)
+            k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
         else:
             o, d, throughput, alive, accum = carry
 
@@ -543,9 +545,10 @@ def trace(
         if stochastic:
             # Glossy reflection: jitter the mirror by a GGX-sampled
             # microfacet (the old engine's stochastic roughness, SURVEY §4).
+            from .ops.rng import uniform2
             from .ops.vecmath import ggx_perturb_reflect
 
-            xi = jax.random.uniform(k_bounce, (n, 2), dtype)
+            xi = uniform2(k_bounce, n, dtype)
             d_next = ggx_perturb_reflect(d, normal, mat.specular_roughness, xi)
             return (o_next, d_next, throughput, alive, accum, k), None
         d_next = reflect(d, normal)  # shader.py:151
@@ -575,18 +578,22 @@ def trace(
     return final[4]
 
 
-def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=False):
+def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=False, key=None):
     """Dispatch between the two fused smooth implementations.
 
     Small sphere tables take the sublane-packed kernels (full-width VPU
     tiles, ~3x the lane kernels — see docs/PERF.md round-2 ledger); bigger
     tables take the blocked lane kernels whose sweeps amortize over
-    (K, B) tiles.
+    (K, B) tiles.  Stochastic roughness (``key``) is supported only by the
+    sublane pair (callers gate on MAX_SUB_SPHERES_SMOOTH).
     """
     from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH, trace_fused_smooth_sub
 
     if scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH:
-        return trace_fused_smooth_sub(origin, direction, scene, cfg, vma=vma, transposed=transposed)
+        return trace_fused_smooth_sub(
+            origin, direction, scene, cfg, vma=vma, transposed=transposed, key=key
+        )
+    assert key is None, "stochastic smooth requires the sublane kernels"
     from .ops.pallas_bounce_smooth import trace_fused_smooth
 
     return trace_fused_smooth(origin, direction, scene, cfg, vma=vma, transposed=transposed)
@@ -632,9 +639,16 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     # The sublane kernel samples image atlases via the external texel
     # gather — no atlas size cap.
     sub_ok = scene.spheres.count <= MAX_SUB_SPHERES
-    # The sublane kernel covers stochastic glossy bounces (hard mode, xi
-    # fed from the host PRNG); everything else with a key falls back.
-    key_ok = key is None or (sub_ok and cfg.visibility != VISIBILITY_SMOOTH)
+    # The sublane kernels cover stochastic glossy bounces in BOTH modes
+    # (hard forward-only; smooth fwd+bwd with the perturbation adjoint),
+    # xi fed from the host PRNG; bigger tables with a key fall back.
+    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
+
+    smooth_sub_ok = scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
+    key_ok = key is None or (
+        (sub_ok and cfg.visibility != VISIBILITY_SMOOTH)
+        or (smooth_sub_ok and cfg.visibility == VISIBILITY_SMOOTH)
+    )
     if _can_fuse_bounce(scene, cfg) and key_ok:
         # Lane-major (3, N) rays end to end — no 6 MB relayout per frame
         # (measured ~3 ms of fixed per-frame cost in the transposes).
@@ -643,7 +657,9 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
         jitter_t = None if jitter is None else jitter.T
         dirs_t = ray_directions_t(scene.camera, cfg.dtype, jitter_t)
         if cfg.visibility == VISIBILITY_SMOOTH:
-            return _trace_smooth_fused(scene.camera.position, dirs_t, scene, cfg, transposed=True)
+            return _trace_smooth_fused(
+                scene.camera.position, dirs_t, scene, cfg, transposed=True, key=key
+            )
         from .ops.pallas_culled import MAX_CULL_DEPTH, MAX_CULL_EXACT, MIN_CULL_SPHERES, trace_fused_culled
 
         s = scene.spheres.count
@@ -676,7 +692,9 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
         if key is None:
             color = jax.lax.map(lambda d: trace(scene.camera.position, d, scene, cfg), tiles)
         else:
-            keys = jax.random.split(key, tiles.shape[0])
+            from .ops.rng import fold_seed
+
+            keys = fold_seed(key, jnp.arange(tiles.shape[0], dtype=jnp.uint32))
             color = jax.lax.map(
                 lambda dk: trace(scene.camera.position, dk[0], scene, cfg, key=dk[1]),
                 (tiles, keys),
@@ -704,13 +722,15 @@ def render(scene: Scene, cfg: RenderConfig) -> jax.Array:
         color = _render_sample(scene, cfg, None, None)
         return color.reshape(h, w, 3)
 
-    base = jax.random.PRNGKey(cfg.rng_seed)
+    from .ops.rng import fold_seed, seed_root, uniform2
+
+    base = seed_root(cfg.rng_seed)
     n = h * w
 
     def sample(acc, i):
-        k = jax.random.fold_in(base, i)
-        k_jit, k_trace = jax.random.split(k)
-        jitter = jax.random.uniform(k_jit, (n, 2), cfg.dtype) - 0.5 if spp > 1 else None
+        k = fold_seed(base, i)
+        k_jit, k_trace = fold_seed(k, 3), fold_seed(k, 4)
+        jitter = uniform2(k_jit, n, cfg.dtype) - 0.5 if spp > 1 else None
         color = _render_sample(scene, cfg, jitter, k_trace if cfg.stochastic_roughness else None)
         return acc + color, None
 

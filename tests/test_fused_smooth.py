@@ -134,3 +134,41 @@ def test_training_descends_through_fused_kernels():
         state, loss = step(state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, f"{losses[0]} -> {losses[-1]}"
+
+
+def test_stochastic_smooth_forward_parity():
+    """Fused smooth kernels with stochastic roughness == XLA smooth path
+    for the SAME seed (identical key schedule, host-fed xi)."""
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    base = dict(max_depth=3, dtype=jnp.float32, visibility="smooth",
+                edge_sharpness=20.0, shadow_sharpness=20.0,
+                stochastic_roughness=True, rng_seed=7)
+    cfg_x = RenderConfig(**base)
+    cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    diff = np.abs(b - a)
+    # Isolated lanes may flip the below-surface fallback gate between the
+    # two float paths; everything else matches tightly.
+    assert np.quantile(diff, 0.999) < 2e-4
+    assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_stochastic_smooth_gradient_parity():
+    """The perturbation adjoint (GGX microfacet jitter of the mirror
+    continuation) == jax.grad of the XLA stochastic smooth path."""
+    scene = reference_scene(64, 36, dtype=jnp.float32)
+    base = dict(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                edge_sharpness=20.0, shadow_sharpness=20.0,
+                stochastic_roughness=True, rng_seed=3)
+    cfg_x = RenderConfig(**base)
+    cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+    # Perturbed target: gradients at a loss minimum are pure roundoff.
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.85
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
