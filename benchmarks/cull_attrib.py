@@ -47,10 +47,14 @@ def timed(name, fn, *args):
     t0 = time.perf_counter()
     float(np.asarray(run(*args)))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(np.asarray(run(*args)))
-    s = (time.perf_counter() - t0) / FRAMES
-    print(json.dumps({"variant": name, "s_per_frame": round(s, 4), "compile_s": round(compile_s, 1)}), flush=True)
+    reps = []  # first post-compile rep can read high over the tunnel
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(run(*args)))
+        reps.append((time.perf_counter() - t0) / FRAMES)
+    print(json.dumps({"variant": name, "s_per_frame": round(min(reps), 4),
+                      "reps": [round(r, 4) for r in reps],
+                      "compile_s": round(compile_s, 1)}), flush=True)
 
 
 def main():

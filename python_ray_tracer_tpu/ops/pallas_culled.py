@@ -25,8 +25,13 @@ module adds the TPU-native equivalent of one:
 
 Primary tiles are scanline strips (narrow direction cones) and shadow
 rays converge on the light, so typical candidate counts are a small
-fraction of S.  Reflected bounces have wider cones and degrade
-gracefully toward the full sweep.
+fraction of S.  Reflected bounces scatter a tile's directions over the
+hemisphere, so before each reflected sweep the whole ray state is
+RE-SORTED (dead rays last, live rays binned by origin cell + direction
+bin — ``ray_sort_keys``): tiles become coherent cones again and the
+culling keeps paying at depth, while spent rays compact into tiles the
+energy cut skips outright.  A carried flat ray id undoes the
+permutation at the end.
 
 Scope: hard visibility, const/checker textures, forward-only (config 4
 is a forward benchmark; training runs small scenes through the smooth
@@ -55,13 +60,19 @@ from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 # to the sweeps they remove; below this the plain sublane kernel wins.
 MIN_CULL_SPHERES = 96
 MAX_CULL_EXACT = 8  # exact-tier spheres are swept unconditionally
-# Beyond this depth the blocked lane kernel wins (measured at config 4:
-# 0.287 vs 0.320 s): reflected bounces off curved mirrors scatter a
-# tile's direction cone over the sphere, so their nearest sweeps cannot
-# cull and the per-bounce candidate machinery is pure overhead.
-MAX_CULL_DEPTH = 2
+# Reflected bounces are RE-SORTED before each sweep (dead rays last,
+# live rays binned by origin cell + direction bin) so their tiles become
+# coherent again and the candidate culling keeps working at depth;
+# measured faster than the blocked lane kernel at every depth tried
+# (docs/PERF.md), so the culled path now owns all depths.
+MAX_CULL_DEPTH = 4096
 
 _MCOLS = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
+
+# Reflected-bounce re-sort granularity: contiguous ray groups moved as
+# blocks (block gathers run at HBM speed; per-ray element gathers do
+# not — see trace_fused_culled).  Must divide the tile size (8*b_cols).
+_SORT_G = 128
 
 
 def _interval_prod(al, ah, bl, bh):
@@ -107,7 +118,7 @@ def interval_hit_mask(
 
 
 def pack_tiles(x_t: jax.Array, b_cols: int) -> jax.Array:
-    """(3, N_pad) -> (3, 8, M) with each (8, b_cols) tile = 8*b_cols
+    """(C, N_pad) -> (C, 8, M) with each (8, b_cols) tile = 8*b_cols
     CONSECUTIVE rays.
 
     A plain reshape would put each tile's 8 sublane rows in 8 far-apart
@@ -115,18 +126,18 @@ def pack_tiles(x_t: jax.Array, b_cols: int) -> jax.Array:
     frustum and cull nothing.  Tile-contiguous packing keeps a tile a few
     consecutive scanline segments: a narrow cone.
     """
-    n_pad = x_t.shape[1]
+    c, n_pad = x_t.shape
     nt = n_pad // (b_cols * _SUBLANES)
     return (
-        x_t.reshape(3, nt, _SUBLANES, b_cols).transpose(0, 2, 1, 3).reshape(3, _SUBLANES, nt * b_cols)
+        x_t.reshape(c, nt, _SUBLANES, b_cols).transpose(0, 2, 1, 3).reshape(c, _SUBLANES, nt * b_cols)
     )
 
 
 def unpack_tiles(x3: jax.Array, b_cols: int) -> jax.Array:
-    """Inverse of :func:`pack_tiles`: (3, 8, M) -> (3, N_pad)."""
-    m = x3.shape[2]
+    """Inverse of :func:`pack_tiles`: (C, 8, M) -> (C, N_pad)."""
+    c, _, m = x3.shape
     nt = m // b_cols
-    return x3.reshape(3, _SUBLANES, nt, b_cols).transpose(0, 2, 1, 3).reshape(3, m * _SUBLANES)
+    return x3.reshape(c, _SUBLANES, nt, b_cols).transpose(0, 2, 1, 3).reshape(c, m * _SUBLANES)
 
 
 def _tile_bounds(
@@ -179,6 +190,52 @@ def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
 
     carry = jax.lax.fori_loop(0, groups, gbody, carry)
     return jax.lax.fori_loop(groups * unroll, cnt, body_one, carry)
+
+
+_DEAD_KEY = jnp.uint32(0x3FFFFF)  # sorts all spent rays to the tail
+
+
+def ray_sort_keys(
+    o_f: jax.Array,  # (3, N) ray origins, ray order
+    d_f: jax.Array,  # (3, N) unit directions
+    live: jax.Array,  # (N,) bool — carries visible energy
+    bb_lo: jax.Array,  # (3,) scene bounding box (cheap tier)
+    bb_hi: jax.Array,
+) -> jax.Array:
+    """Spatial-directional bin key per ray, dead rays last.
+
+    Reflected bounces are tile-incoherent (a mirror sphere scatters a
+    scanline tile's directions over the hemisphere), which defeats the
+    per-tile interval culling.  Sorting rays by (origin cell, direction
+    bin) re-establishes coherence: rays bouncing off the same sphere
+    region into similar directions land in the same tile, so its interval
+    box tightens back to a narrow cone.  Dead rays compact into all-dead
+    tiles that the energy cut skips outright.
+
+    Key layout (22 bits): dead(1) | cell_x(5) | cell_z(5) | cell_y(5) |
+    dir_x(2) dir_y(2) dir_z(2).  32^3 origin cells over the cheap-tier
+    bbox (huge exact-tier spheres like the ground would blow the grid;
+    their hit points clamp to the boundary cells, which still separate
+    them by x/z), 4 direction bins per axis.
+    """
+    inv = 31.0 / jnp.maximum(bb_hi - bb_lo, 1e-6)
+    cell = [
+        jnp.clip((o_f[a] - bb_lo[a]) * inv[a], 0.0, 31.0).astype(jnp.uint32)
+        for a in range(3)
+    ]
+    dbin = [
+        jnp.clip((d_f[a] + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
+        for a in range(3)
+    ]
+    key = (
+        (cell[0] << jnp.uint32(16))
+        | (cell[2] << jnp.uint32(11))
+        | (cell[1] << jnp.uint32(6))
+        | (dbin[0] << jnp.uint32(4))
+        | (dbin[1] << jnp.uint32(2))
+        | dbin[2]
+    )
+    return jnp.where(live, key, _DEAD_KEY)
 
 
 def candidate_lists(
@@ -551,28 +608,66 @@ def trace_fused_culled(
         t = thr.reshape(_SUBLANES, m_cols // b_cols, b_cols)
         return (jnp.max(t, axis=(0, 2)) > dead_thr)[None, :]  # (1, T)
 
-    n_tiles_total = m_cols // b_cols
+    # Cheap-tier scene bbox for the reflected-ray sort keys (exact-tier
+    # spheres like the ground plane are enormous and would flatten the
+    # origin grid to one cell).
+    bb_lo = jnp.min(center_cheap - radius_cheap[:, None], axis=0)
+    bb_hi = jnp.max(center_cheap + radius_cheap[:, None], axis=0)
 
     def bounce(carry, _, primary: bool):
-        o3, d3, thr, alive, acc = carry
-        live = tile_live(thr)
+        o3, d3, thr, alive, acc, pix = carry
         if primary:
-            cand_a, cnt_a, cnt_af = candidate_lists(o3, d3, center_cheap, radius_cheap, b_cols)
-            cnt_a = jnp.where(live, cnt_a, 0)
-            cnt_af = jnp.where(live, cnt_af, 0)
-            g_a, id_a = gathered(cand_a)
-            mat_a = jnp.take(mat16, cand_a, axis=0)  # (T, MAX_CAND, 16)
+            lane_valid = None
         else:
-            # Reflected bounces: direction cones are wide (curved mirrors)
-            # so per-tile nearest culling finds ~everything — skip its
-            # build cost and run the (equally fast, unrolled) full sweep.
-            # The SHADOW rays still cull well at every depth: origins stay
-            # inside the tile's footprint and all aim at one light.
-            cnt_a = jnp.zeros((1, n_tiles_total), jnp.int32)
-            cnt_af = jnp.where(live, s_cheap, 0)
-            g_a = jnp.zeros((n_tiles_total, MAX_CAND, 4), dtype)
-            id_a = jnp.zeros((n_tiles_total, MAX_CAND, 1), jnp.int32)
-            mat_a = jnp.zeros((n_tiles_total, MAX_CAND, len(_MCOLS)), dtype)
+            # Re-sort the ray state so tiles become coherent again: dead
+            # rays compact into tail tiles (skipped by the energy cut),
+            # live rays group by (origin cell, direction bin) so both the
+            # nearest AND shadow candidate lists cull at depth.  Per-ray
+            # results are grouping-independent (candidate lists are
+            # conservative), so only the tile energy cut — already
+            # sub-quantum — sees the permutation.
+            #
+            # The permutation moves contiguous _SORT_G-ray GROUPS keyed by
+            # their live-weighted centroid, not individual rays: a per-ray
+            # element gather of the 12-channel state costs ~105 ms at 2M
+            # rays on v5e (minor-axis gathers are per-element), the
+            # 128-ray block gather ~4 ms, and consecutive rays are already
+            # coherent enough that group sorting keeps ~95% of the
+            # culling (benchmarks/glue_probe.py, sort_cull_stats.py).
+            state = jnp.concatenate(
+                [
+                    unpack_tiles(o3, b_cols),
+                    unpack_tiles(d3, b_cols),
+                    unpack_tiles(jnp.stack([thr, alive]), b_cols),
+                    unpack_tiles(acc, b_cols),
+                ],
+                axis=0,
+            )  # (11, N_pad) flat ray order
+            ng = n_pad // _SORT_G
+            live_f = ((state[6] * state[7]) > dead_thr).astype(dtype)
+            lg = live_f.reshape(ng, _SORT_G)
+            wsum = jnp.maximum(lg.sum(axis=1), 1.0)
+            cg = state[:6].reshape(6, ng, _SORT_G)
+            cent = (cg * lg).sum(axis=2) / wsum  # (6, ng) live-ray centroid
+            keys = ray_sort_keys(
+                cent[0:3], cent[3:6], lg.any(axis=1), bb_lo, bb_hi
+            )
+            perm = jnp.argsort(keys, stable=True)
+            state = jnp.take(state.reshape(11, ng, _SORT_G), perm, axis=1)
+            pix = jnp.take(pix.reshape(ng, _SORT_G), perm, axis=0).reshape(-1)
+            s3 = pack_tiles(state.reshape(11, n_pad), b_cols)
+            o3, d3 = s3[0:3], s3[3:6]
+            thr, alive = s3[6], s3[7]
+            acc = s3[8:11]
+            lane_valid = (thr * alive) > dead_thr  # (8, M)
+        live = tile_live(thr)
+        cand_a, cnt_a, cnt_af = candidate_lists(
+            o3, d3, center_cheap, radius_cheap, b_cols, valid=lane_valid
+        )
+        cnt_a = jnp.where(live, cnt_a, 0)
+        cnt_af = jnp.where(live, cnt_af, 0)
+        g_a, id_a = gathered(cand_a)
+        mat_a = jnp.take(mat16, cand_a, axis=0)  # (T, MAX_CAND, 16)
         tmin, idx = near_call(o3, d3, g_a, id_a, cnt_a, cnt_af, geom_t)
 
         # XLA glue: winner geometry -> hit point, normal, shadow ray.
@@ -601,7 +696,7 @@ def trace_fused_culled(
             mat_a, id_a, cnt_a, cnt_af, g_b, id_b, cnt_b, cnt_bf,
             geom_t, mat_t_smem, consts,
         )
-        return out, None
+        return out + (pix,), None
 
     init = (
         o3,
@@ -609,11 +704,14 @@ def trace_fused_culled(
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
+        jnp.arange(n_pad, dtype=jnp.int32),  # flat ray id, tracks the sorts
     )
     carry, _ = bounce(init, None, primary=True)
     if cfg.max_depth > 1:
         carry, _ = jax.lax.scan(
             functools.partial(bounce, primary=False), carry, None, length=cfg.max_depth - 1
         )
-    acc = carry[4]
-    return unpack_tiles(acc, b_cols).T[:n]
+    acc_f = unpack_tiles(carry[4], b_cols)  # (3, N_pad), sorted ray order
+    if cfg.max_depth > 1:  # undo the per-bounce sorts
+        acc_f = jnp.take(acc_f, jnp.argsort(carry[5]), axis=1)
+    return acc_f.T[:n]

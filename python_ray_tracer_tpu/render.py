@@ -670,11 +670,10 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
             and scene.spheres.n_exact <= MAX_CULL_EXACT
             and cfg.max_depth <= MAX_CULL_DEPTH
         ):
-            # Big scene, shallow depth: per-tile candidate-list culling
-            # (O(candidates) per primary ray).  Deep renders keep the
-            # blocked lane kernel: reflected bounces off curved mirrors
-            # are tile-incoherent, so their sweeps can't cull and the
-            # blocked O(N*S) sweep is faster (measured — docs/PERF.md).
+            # Big scene: per-tile candidate-list culling (O(candidates)
+            # per ray).  Reflected bounces re-sort rays by (origin cell,
+            # direction bin) so the culling keeps working at depth and
+            # dead rays compact into skipped tiles (docs/PERF.md).
             return trace_fused_culled(scene.camera.position, dirs_t, scene, cfg, transposed=True)
         if sub_ok:
             return trace_fused_sub(scene.camera.position, dirs_t, scene, cfg, transposed=True, key=key)

@@ -54,6 +54,34 @@ def test_candidate_lists_conservative_and_useful():
         assert not missing, f"tile {t}: hit spheres missing from candidates: {missing}"
 
 
+def test_ray_sort_keys_bins_and_dead_tail():
+    """Dead rays must sort strictly after every live ray; nearby rays
+    with similar directions must share a bin key (that is what restores
+    tile coherence on reflected bounces)."""
+    from python_ray_tracer_tpu.ops.pallas_culled import ray_sort_keys
+
+    bb_lo = jnp.array([-10.0, -10.0, -10.0])
+    bb_hi = jnp.array([10.0, 10.0, 10.0])
+    o = jnp.array([
+        [0.0, 0.01, 0.0, -9.9],   # x: rays 0,1 same cell; 3 far away
+        [0.0, 0.0, 0.0, 9.9],
+        [0.0, 0.0, 0.0, 0.0],
+    ])
+    d = jnp.array([
+        [1.0, 1.0, -1.0, 1.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+    ])
+    live = jnp.array([True, True, True, False])
+    keys = np.asarray(ray_sort_keys(o, d, live, bb_lo, bb_hi))
+    assert keys[0] == keys[1], "co-located co-directed rays must share a key"
+    assert keys[2] != keys[0], "opposite directions must split bins"
+    assert keys[3] > keys[:3].max(), "dead rays must sort last"
+    # Stable argsort over the keys groups rays 0,1 adjacently.
+    order = np.argsort(keys, kind="stable")
+    assert abs(int(np.where(order == 0)[0][0]) - int(np.where(order == 1)[0][0])) == 1
+
+
 def test_culled_render_matches_xla():
     """End-to-end: culled split kernels == XLA sweep at 256 spheres
     (depth 2 routes through the culled path; see MAX_CULL_DEPTH)."""
