@@ -61,10 +61,7 @@ def main():
     scene = random_spheres_scene(n_spheres=S, width=W, height=H, dtype=jnp.float32)
     cfg = RenderConfig(max_depth=DEPTH, dtype=jnp.float32, use_pallas=True)
 
-    from python_ray_tracer_tpu.ops.pallas_bounce import trace_fused
-    from python_ray_tracer_tpu.ops.pallas_culled import (
-        _SUBLANES, candidate_lists, pack_tiles, trace_fused_culled,
-    )
+    from python_ray_tracer_tpu.ops import pallas_culled as pc
 
     dirs_t = ray_directions_t(scene.camera, jnp.float32, None)
 
@@ -73,43 +70,17 @@ def main():
 
         cam = dataclasses.replace(scene.camera, position=scene.camera.position + bump * 1e-9)
         sc = dataclasses.replace(scene, camera=cam)
-        return trace_fused_culled(sc.camera.position, dirs_t, sc, cfg, transposed=True)
+        return pc.trace_fused_culled(sc.camera.position, dirs_t, sc, cfg, transposed=True)
 
-    def lane(dirs_t, scene, bump):
-        import dataclasses
-
-        cam = dataclasses.replace(scene.camera, position=scene.camera.position + bump * 1e-9)
-        sc = dataclasses.replace(scene, camera=cam)
-        return trace_fused(sc.camera.position, dirs_t, sc, cfg, transposed=True)
-
-    # candidate build alone (one bounce worth: primary rays)
-    block = max(cfg.block_rays, 1024)
-    b_cols = block // _SUBLANES
-    n = dirs_t.shape[1]
-    n_pad = -(-n // block) * block
-    d_p = jnp.concatenate([dirs_t, jnp.broadcast_to(dirs_t[:, :1], (3, n_pad - n))], axis=1)
-    o_p = jnp.broadcast_to(scene.camera.position[:, None], d_p.shape)
-    o3 = pack_tiles(o_p, b_cols)
-    d3 = pack_tiles(d_p, b_cols)
-    s_cheap = scene.spheres.count - scene.spheres.n_exact
-    center = scene.spheres.center[:s_cheap]
-    radius = scene.spheres.radius[:s_cheap]
-
-    def cand_only(o3, d3, bump):
-        cand, cnt, cnt_f = candidate_lists(o3 + bump * 1e-12, d3, center, radius, b_cols)
-        return (cand.astype(jnp.float32).mean() + cnt.astype(jnp.float32).mean() + cnt_f.astype(jnp.float32).mean())
-
-    timed("lane_fused_r1", lane, dirs_t, scene)
-    timed("culled_full", culled, dirs_t, scene)
-    timed("cand_build_1bounce", cand_only, o3, d3)
-
-    # per-bounce candidate statistics (how well each bounce culls)
-    cand, cnt, cnt_f = candidate_lists(o3, d3, center, radius, b_cols)
-    print(json.dumps({
-        "bounce0_mean_cnt": float(jnp.mean(cnt + cnt_f)),
-        "bounce0_frac_overflow": float(jnp.mean((cnt_f > 0).astype(jnp.float32))),
-        "s_cheap": s_cheap,
-    }), flush=True)
+    # (tile rays, MAX_CAND) variants — constants are read at trace time,
+    # so monkeypatching between fresh jits is sound.
+    variants = [(4096, 512), (4096, 1024), (2048, 512), (1024, 512)]
+    if len(sys.argv) > 1:
+        variants = [tuple(int(x) for x in v.split(":")) for v in sys.argv[1:]]
+    for tile, cap in variants:
+        pc.CULL_BLOCK_RAYS = tile
+        pc.MAX_CAND = cap
+        timed(f"culled_tile{tile}_cap{cap}", culled, dirs_t, scene)
 
 
 if __name__ == "__main__":

@@ -135,8 +135,47 @@ def main():
         stats(gtake(p_n), gtake(refl), lv, label)
 
     run_variant(ray_sort_keys(o_c, d_c, live_g, bb_lo, bb_hi), "g128_current_c5d2")
-    for cb, db, dm in [(5, 3, False), (4, 3, False), (4, 4, False), (5, 3, True), (4, 3, True), (3, 4, True), (6, 3, False)]:
+    for cb, db, dm in [(4, 4, False)]:
         run_variant(key_v(o_c, d_c, live_g, cb, db, dm), f"g128_c{cb}d{db}{'_dirmajor' if dm else ''}")
+
+    # Does the conservative tile bound tighten with smaller tiles / groups?
+    def stats_bc(o_f, d_f, lv, label, bc):
+        o3 = pack_tiles(o_f, bc)
+        d3 = pack_tiles(d_f, bc)
+        valid = pack_tiles(lv[None].astype(jnp.float32), bc)[0] > 0
+        cand, cnt, cnt_f = candidate_lists(o3, d3, cc, rc, bc, valid=valid)
+        t = valid.reshape(_SUBLANES, -1, bc)
+        tile_live = np.asarray(jnp.max(t, axis=(0, 2)) > 0)
+        cnt_np = np.asarray(cnt)[0] + np.asarray(cnt_f)[0]
+        swept = cnt_np * tile_live
+        print(json.dumps({
+            "label": label, "tile_rays": bc * _SUBLANES,
+            "mean_cnt_live_tiles": round(float(cnt_np[tile_live].mean()), 1),
+            "frac_overflow_live": round(float((np.asarray(cnt_f)[0][tile_live] > 0).mean()), 3),
+            "total_sweep_work_frac": round(float(swept.sum() / (len(cnt_np) * s_cheap)), 4),
+        }))
+
+    for gsz in (128, 64, 32):
+        ngs = p_n.shape[1] // gsz
+        o_cs = p_n.reshape(3, ngs, gsz).mean(axis=2)
+        d_cs = refl.reshape(3, ngs, gsz).mean(axis=2)
+        lgs = live.reshape(ngs, gsz).any(axis=1)
+        gperm = jnp.argsort(key_v(o_cs, d_cs, lgs, 4, 4, False), stable=True)
+        def gtake(x):
+            return jnp.take(x.reshape(x.shape[0], ngs, gsz), gperm, axis=1).reshape(x.shape[0], -1)
+        lvp = jnp.take(live.reshape(ngs, gsz), gperm, axis=0).reshape(-1)
+        op, dp = gtake(p_n), gtake(refl)
+        for bc in (512, 256, 128):
+            stats_bc(op, dp, lvp, f"g{gsz}_c4d4_tile{bc * _SUBLANES}", bc)
+
+    # Per-ray floor at each tile size (upper bound on any group scheme).
+    keys_pr = key_v(p_n, refl, live, 4, 4, False)
+    pperm = jnp.argsort(keys_pr, stable=True)
+    opr = jnp.take(p_n, pperm, axis=1)
+    dpr = jnp.take(refl, pperm, axis=1)
+    lpr = jnp.take(live, pperm)
+    for bc in (512, 256, 128):
+        stats_bc(opr, dpr, lpr, f"perray_c4d4_tile{bc * _SUBLANES}", bc)
 
 
 if __name__ == "__main__":

@@ -30,8 +30,8 @@ hemisphere, so before each reflected sweep the whole ray state is
 RE-SORTED (dead rays last, live rays binned by origin cell + direction
 bin — ``ray_sort_keys``): tiles become coherent cones again and the
 culling keeps paying at depth, while spent rays compact into tiles the
-energy cut skips outright.  A carried flat ray id undoes the
-permutation at the end.
+energy cut skips outright.  A carried group id undoes the
+permutation at the end (block gather — cheap).
 
 Scope: hard visibility, const/checker textures, forward-only (config 4
 is a forward benchmark; training runs small scenes through the smooth
@@ -72,7 +72,16 @@ _MCOLS = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _T
 # Reflected-bounce re-sort granularity: contiguous ray groups moved as
 # blocks (block gathers run at HBM speed; per-ray element gathers do
 # not — see trace_fused_culled).  Must divide the tile size (8*b_cols).
-_SORT_G = 128
+# 64-ray groups: the CPU quality probe scored 128 marginally better at
+# 4096-ray tiles, but on the chip 64 wins (0.148 vs 0.155 s) — finer
+# groups pack the live set tighter than the centroid-key model predicts.
+_SORT_G = 64
+
+# Ray-tile size for the culled kernels.  Smaller tiles bound tighter
+# interval cones (tile1024 sweeps 30% of spheres vs 43% at tile4096
+# after the reflected-bounce sort) at the cost of more candidate-build
+# work; benchmarks/cull_attrib.py A/Bs this on the chip.
+CULL_BLOCK_RAYS = 4 * _SUBLANES * 128
 
 
 def _interval_prod(al, ah, bl, bh):
@@ -164,18 +173,19 @@ def _tile_bounds(
 
 
 
-# Per-tile candidate cap: candidate geometry/material rows are pre-gathered
-# into (n_tiles, MAX_CAND, .) arrays the kernels slice per tile; a tile
-# whose conservative count exceeds the cap falls back to the full sweep
-# (cnt_full) — still exact, just unculled for that tile.
-MAX_CAND = 512
+# Per-tile candidate cap: each tile carries a (MAX_CAND,) id row the
+# kernels read from SMEM; a tile whose conservative count exceeds the
+# cap falls back to the full sweep (cnt_full) — still exact, just
+# unculled for that tile.  With ids only (no pre-gathered geometry) a
+# generous cap is nearly free: 1024 beat 512 on the chip.
+MAX_CAND = 1024
 
 # Unroll factor for the dynamic sphere loops: each scalar-indexed
 # candidate costs ~45 one-vreg vector ops; the serial scalar loads +
 # loop control around them don't pipeline (measured ~4x slowdown vs the
 # blocked sweep at one candidate per iteration).  Grouping U candidates
 # per iteration amortizes the scalar path.
-_UNROLL = 4
+_UNROLL = 8
 
 
 def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
@@ -192,7 +202,7 @@ def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
     return jax.lax.fori_loop(groups * unroll, cnt, body_one, carry)
 
 
-_DEAD_KEY = jnp.uint32(0x3FFFFF)  # sorts all spent rays to the tail
+_DEAD_KEY = jnp.uint32(1) << jnp.uint32(24)  # sorts all spent rays to the tail
 
 
 def ray_sort_keys(
@@ -212,30 +222,33 @@ def ray_sort_keys(
     box tightens back to a narrow cone.  Dead rays compact into all-dead
     tiles that the energy cut skips outright.
 
-    Key layout (22 bits): dead(1) | cell_x(5) | cell_z(5) | cell_y(5) |
-    dir_x(2) dir_y(2) dir_z(2).  32^3 origin cells over the cheap-tier
+    Key layout (25 bits): dead(1) | cell_x(4) cell_z(4) cell_y(4) |
+    dir_x(4) dir_y(4) dir_z(4).  16^3 origin cells over the cheap-tier
     bbox (huge exact-tier spheres like the ground would blow the grid;
     their hit points clamp to the boundary cells, which still separate
-    them by x/z), 4 direction bins per axis.
+    them by x/z), 16 direction bins per axis.  Coarser cells + finer
+    direction bins beat the first-cut 32^3x4^3 layout (43% vs 47% sweep
+    work — benchmarks/sort_cull_stats.py): reflected cones diverge, so
+    direction coherence matters more than origin locality.
     """
-    inv = 31.0 / jnp.maximum(bb_hi - bb_lo, 1e-6)
+    inv = 15.0 / jnp.maximum(bb_hi - bb_lo, 1e-6)
     cell = [
-        jnp.clip((o_f[a] - bb_lo[a]) * inv[a], 0.0, 31.0).astype(jnp.uint32)
+        jnp.clip((o_f[a] - bb_lo[a]) * inv[a], 0.0, 15.0).astype(jnp.uint32)
         for a in range(3)
     ]
     dbin = [
-        jnp.clip((d_f[a] + 1.0) * 2.0, 0.0, 3.0).astype(jnp.uint32)
+        jnp.clip((d_f[a] + 1.0) * 8.0, 0.0, 15.0).astype(jnp.uint32)
         for a in range(3)
     ]
     key = (
-        (cell[0] << jnp.uint32(16))
-        | (cell[2] << jnp.uint32(11))
-        | (cell[1] << jnp.uint32(6))
-        | (dbin[0] << jnp.uint32(4))
-        | (dbin[1] << jnp.uint32(2))
+        (cell[0] << jnp.uint32(20))
+        | (cell[2] << jnp.uint32(16))
+        | (cell[1] << jnp.uint32(12))
+        | (dbin[0] << jnp.uint32(8))
+        | (dbin[1] << jnp.uint32(4))
         | dbin[2]
     )
-    return jnp.where(live, key, _DEAD_KEY)
+    return jnp.where(live, key, _DEAD_KEY | key)
 
 
 def candidate_lists(
@@ -276,22 +289,6 @@ def candidate_lists(
     return cand, cnt_cand, cnt_full
 
 
-def _cand_row(g_ref, j):
-    """Candidate read: (cx, cy, cz, r) as SCALARS.
-
-    Dynamic indexing stays on the SUBLANE axis (proven pattern); the
-    (1, 4) row is then scalar-extracted — Mosaic supports vector->scalar
-    extraction but NOT broadcasting a (1, 1) vector into both sublanes
-    and lanes (probed on v5e).
-    """
-    row = g_ref[0, pl.ds(j, 1), :]  # (1, 4)
-    return row[0, 0], row[0, 1], row[0, 2], row[0, 3]
-
-
-def _cand_id(ids_ref, j):
-    return ids_ref[0, pl.ds(j, 1), :][0, 0]  # scalar int32
-
-
 def _geom_scalars(geom_ref, k):
     # Tables are TRANSPOSED for SMEM ((4, S) / (C, S)): SMEM pads every
     # ROW to 512 bytes, so (S, 4) would cost S x 512 B (measured SMEM OOM
@@ -305,7 +302,7 @@ def _geom_scalars(geom_ref, k):
 
 
 def _near_kernel_culled(
-    o_ref, d_ref, ga_ref, ida_ref, cntc_ref, cntf_ref, geom_ref, t_out, idx_out,
+    o_ref, d_ref, cand_ref, cntc_ref, cntf_ref, geom_ref, t_out, idx_out, p_out, n_out,
     *, faraway: float, s_cheap: int, s_total: int,
 ):
     dtype = o_ref.dtype
@@ -315,31 +312,58 @@ def _near_kernel_culled(
     far = jnp.asarray(faraway, dtype)
     i = pl.program_id(0)
 
+    # The winner's GEOMETRY is carried through the loop as four extra
+    # vector selects per candidate: an XLA-side `take(geom, idx)` costs
+    # 12-17 ms/bounce at 2M rays (elementwise minor-axis gather — device
+    # trace in docs/PERF.md), vs ~15% more select work in a sweep that is
+    # already compute-bound.  Misses keep sphere 0's geometry (the old
+    # `take` on idx==0 did the same); `hit` masks them downstream.
+    def select(take, t_k, sid, g, carry):
+        tmin, imin, cw = carry
+        return (
+            jnp.where(take, t_k, tmin),
+            jnp.where(take, sid, imin),
+            tuple(jnp.where(take, g[c], cw[c]) for c in range(4)),
+        )
+
     def cand_body(j, carry):
-        tmin, imin = carry
-        cx, cy, cz, r = _cand_row(ga_ref, j)
-        t_k = _sphere_t(o, d, cx, cy, cz, r, faraway, dtype)
-        take = t_k < tmin  # strict: lowest index wins (candidates ascend)
-        return jnp.where(take, t_k, tmin), jnp.where(take, _cand_id(ida_ref, j), imin)
+        # Candidate geometry via SMEM id-indirection: one SMEM id read +
+        # four SMEM scalar reads (the full sweep's proven-fast pattern) —
+        # no pre-gathered (T, MAX_CAND, 4) arrays in HBM at all.
+        sid = cand_ref[0, 0, j]
+        g = _geom_scalars(geom_ref, sid)
+        t_k = _sphere_t(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
+        # strict <: lowest index wins (candidates ascend)
+        return select(t_k < carry[0], t_k, sid, g, carry)
 
     def full_body(k, carry):
-        tmin, imin = carry
-        cx, cy, cz, r = _geom_scalars(geom_ref, k)
-        t_k = _sphere_t(o, d, cx, cy, cz, r, faraway, dtype)
-        take = t_k < tmin
-        return jnp.where(take, t_k, tmin), jnp.where(take, k, imin)
+        g = _geom_scalars(geom_ref, k)
+        t_k = _sphere_t(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
+        return select(t_k < carry[0], t_k, k, g, carry)
 
-    carry = (jnp.full(shape, far), jnp.zeros(shape, jnp.int32))
+    g0 = _geom_scalars(geom_ref, 0)
+    carry = (
+        jnp.full(shape, far),
+        jnp.zeros(shape, jnp.int32),
+        tuple(jnp.full(shape, g0[c], dtype) for c in range(4)),
+    )
     carry = _unrolled_loop(cntc_ref[0, i], cand_body, carry)
-    tmin, imin = _unrolled_loop(cntf_ref[0, i], full_body, carry)
+    carry = _unrolled_loop(cntf_ref[0, i], full_body, carry)
     for k in range(s_cheap, s_total):  # exact tier: always swept
-        cx, cy, cz, r = _geom_scalars(geom_ref, k)
-        t_k = _sphere_t_exact(o, d, cx, cy, cz, r, faraway, dtype)
-        take = t_k < tmin
-        tmin = jnp.where(take, t_k, tmin)
-        imin = jnp.where(take, k, imin)
+        g = _geom_scalars(geom_ref, k)
+        t_k = _sphere_t_exact(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
+        carry = select(t_k < carry[0], t_k, k, g, carry)
+    tmin, imin, cw = carry
+    hit = tmin != far
+    t_safe = jnp.where(hit, tmin, jnp.ones_like(tmin))
     t_out[:, :] = tmin
-    idx_out[:, :] = jnp.where(tmin == far, 0, imin)
+    idx_out[:, :] = jnp.where(hit, imin, 0)
+    for c in range(3):
+        p_c = o[c] + d[c] * t_safe
+        p_out[c] = p_c
+        # divide (not reciprocal-multiply): bit-identical to the XLA
+        # glue this replaces, which the parity tests pin.
+        n_out[c] = (p_c - cw[c]) / cw[3]
 
 
 # ---------------------------------------------------------------------------
@@ -349,8 +373,7 @@ def _near_kernel_culled(
 
 def _shade_kernel_culled(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref, t_ref, idx_ref, pn_ref, tl_ref,
-    mata_ref, ida_ref, cnta_ref, cntaf_ref, gb_ref, idb_ref, cntb_ref, cntbf_ref,
-    geom_ref, mat_ref, const_ref,
+    matv_ref, candb_ref, cntb_ref, cntbf_ref, geom_ref, const_ref,
     o_out, d_out, thr_out, alive_out, acc_out,
     *, faraway: float, s_cheap: int, s_total: int,
 ):
@@ -366,32 +389,17 @@ def _shade_kernel_culled(
     shape = tmin.shape
     far = jnp.asarray(faraway, dtype)
     i = pl.program_id(0)
-    ncols = len(_MCOLS)
 
     hit = (tmin != far).astype(dtype)
     coverage = hit * alive
     t_safe = jnp.where(hit > 0, tmin, jnp.ones_like(tmin))
 
-    # Material select: winners lie in candA ∪ full fallback ∪ exact tier.
-    def mat_cand_body(j, mat_t):
-        sel = idx == _cand_id(ida_ref, j)
-        row = mata_ref[0, pl.ds(j, 1), :]  # (1, ncols)
-        return tuple(jnp.where(sel, row[0, c], mat_t[c]) for c in range(ncols))
-
-    def mat_full_body(k, mat_t):
-        sel = idx == k
-        return tuple(jnp.where(sel, mat_ref[col, k], mat_t[c]) for c, col in enumerate(_MCOLS))
-
-    mat0 = tuple(jnp.full(shape, mat_ref[c, 0], dtype) for c in _MCOLS)
-    mat_t = _unrolled_loop(cnta_ref[0, i], mat_cand_body, mat0)
-    mat_t = _unrolled_loop(cntaf_ref[0, i], mat_full_body, mat_t)
-    for k in range(s_cheap, s_total):
-        sel = idx == k
-        mat_t = tuple(jnp.where(sel, mat_ref[col, k], mat_t[c]) for c, col in enumerate(_MCOLS))
-    mat = dict(zip(_MCOLS, mat_t))
-
+    # Winner material arrives PRE-GATHERED by the XLA glue (a per-lane
+    # take on the winner index — forward-only, so no scatter-add adjoint
+    # risk).  The previous in-kernel select loop (16 vector selects per
+    # candidate) cost more VPU work than the nearest sweep itself.
     def m(col):
-        return mat[col]
+        return matv_ref[_MCOLS.index(col)]
 
     p = tuple(o[i_] + d[i_] * t_safe for i_ in range(3))  # shader.py:73
     inv_r = 1.0 / m(_RAD)
@@ -415,9 +423,10 @@ def _shade_kernel_culled(
 
     def shadow_cand_body(j, carry):
         t_others, t_self = carry
-        cx, cy, cz, r = _cand_row(gb_ref, j)
+        sid = candb_ref[0, 0, j]
+        cx, cy, cz, r = _geom_scalars(geom_ref, sid)
         t_k = _sphere_t(p_n, to_light, cx, cy, cz, r, faraway, dtype)
-        is_self = idx == _cand_id(idb_ref, j)
+        is_self = idx == sid
         return (
             jnp.minimum(t_others, jnp.where(is_self, big, t_k)),
             jnp.where(is_self, jnp.minimum(t_self, t_k), t_self),
@@ -526,10 +535,10 @@ def trace_fused_culled(
     from .pallas_bounce import _ray_state_t
 
     dtype = cfg.dtype
-    # 4096-ray tiles: per-candidate vector work spans 4 vregs per op, so
-    # the serial scalar candidate reads hide behind it; smaller requested
-    # blocks round up (more padding, same semantics).
-    block = max(cfg.block_rays, 4 * _SUBLANES * 128)
+    # Default 4096-ray tiles: per-candidate vector work spans 4 vregs per
+    # op, so the serial scalar candidate reads hide behind it; smaller
+    # requested blocks round up (more padding, same semantics).
+    block = max(cfg.block_rays, CULL_BLOCK_RAYS)
     if block % _SUBLANES:
         raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
     o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
@@ -548,7 +557,6 @@ def trace_fused_culled(
     geom = _geometry_table(scene, dtype)
     geom_t = geom.T  # (4, S) — SMEM-friendly (rows pad to 512 B each)
     mat = _material_table(scene, dtype)[: scene.spheres.count]
-    mat_t_smem = mat.T  # (C, S)
     mat16 = jnp.stack([mat[:, c] for c in _MCOLS], axis=1)  # (S, 16) kernel order
     consts = _consts_row(scene, dtype)
     light = jnp.asarray(scene.lights.point_position, dtype)
@@ -558,20 +566,25 @@ def trace_fused_culled(
     radius_cheap = jnp.asarray(scene.spheres.radius[:s_cheap], dtype)
 
     vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    vec16 = pl.BlockSpec(
+        (len(_MCOLS), _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
     lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    g_spec = pl.BlockSpec((1, MAX_CAND, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    id_spec = pl.BlockSpec((1, MAX_CAND, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((1, MAX_CAND, len(_MCOLS)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Per-tile candidate-id row in SMEM ((T, 1, MAX_CAND) so the block's
+    # trailing dims equal the array's — the Mosaic block-shape rule).
+    cand_spec = pl.BlockSpec((1, 1, MAX_CAND), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
 
     near_call = pl.pallas_call(
         functools.partial(_near_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap, s_total=s_total),
         grid=(n_tiles,),
-        in_specs=[vec, vec, g_spec, id_spec, smem, smem, smem],
-        out_specs=(lane, lane),
+        in_specs=[vec, vec, cand_spec, smem, smem, smem],
+        out_specs=(lane, lane, vec, vec),
         out_shape=(
             jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
             jax.ShapeDtypeStruct((_SUBLANES, m_cols), jnp.int32),
+            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
+            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
         ),
         interpret=cfg.pallas_interpret,
     )
@@ -580,8 +593,7 @@ def trace_fused_culled(
         grid=(n_tiles,),
         in_specs=[
             vec, vec, lane, lane, vec, lane, lane, vec, vec,
-            mat_spec, id_spec, smem, smem, g_spec, id_spec, smem, smem,
-            smem, smem, smem,
+            vec16, cand_spec, smem, smem, smem, smem,
         ],
         out_specs=(vec, vec, lane, lane, vec),
         out_shape=(
@@ -593,11 +605,6 @@ def trace_fused_culled(
         ),
         interpret=cfg.pallas_interpret,
     )
-
-    def gathered(cand):
-        g = jnp.take(geom[:s_cheap], cand, axis=0)  # (T, MAX_CAND, 4)
-        ids = cand[:, :, None]  # (T, MAX_CAND, 1)
-        return g, ids
 
     # Below this throughput a bounce cannot move the uint8 image (half a
     # quantum is ~2e-3; color magnitudes are ~O(1)); tiles whose every
@@ -654,7 +661,7 @@ def trace_fused_culled(
             )
             perm = jnp.argsort(keys, stable=True)
             state = jnp.take(state.reshape(11, ng, _SORT_G), perm, axis=1)
-            pix = jnp.take(pix.reshape(ng, _SORT_G), perm, axis=0).reshape(-1)
+            pix = jnp.take(pix, perm)  # (ng,) group ids follow their rays
             s3 = pack_tiles(state.reshape(11, n_pad), b_cols)
             o3, d3 = s3[0:3], s3[3:6]
             thr, alive = s3[6], s3[7]
@@ -666,18 +673,16 @@ def trace_fused_culled(
         )
         cnt_a = jnp.where(live, cnt_a, 0)
         cnt_af = jnp.where(live, cnt_af, 0)
-        g_a, id_a = gathered(cand_a)
-        mat_a = jnp.take(mat16, cand_a, axis=0)  # (T, MAX_CAND, 16)
-        tmin, idx = near_call(o3, d3, g_a, id_a, cnt_a, cnt_af, geom_t)
+        tmin, idx, p, normal = near_call(o3, d3, cand_a[:, None, :], cnt_a, cnt_af, geom_t)
 
-        # XLA glue: winner geometry -> hit point, normal, shadow ray.
+        # XLA glue: hit point + normal come OUT of the kernel (winner
+        # geometry carried in-loop — an XLA `take(geom, idx)` costs
+        # 12-17 ms/bounce here); only the 16 material columns are
+        # gathered, as one wide per-lane take (forward-only, so the
+        # gather has no scatter-add adjoint to fear).
         far = jnp.asarray(cfg.faraway, dtype)
         hit = tmin != far
-        t_safe = jnp.where(hit, tmin, jnp.ones_like(tmin))
-        c_w = jnp.moveaxis(jnp.take(geom[:, :3], idx, axis=0), -1, 0)  # (3, 8, M)
-        r_w = jnp.take(geom[:, 3], idx, axis=0)  # (8, M)
-        p = o3 + d3 * t_safe[None]
-        normal = (p - c_w) / r_w[None]
+        matv = jnp.moveaxis(jnp.take(mat16, idx, axis=0), -1, 0)  # (16, 8, M)
         p_n = p + normal * NUDGE
         lv = light[:, None, None] - p
         to_light = lv / jnp.sqrt(jnp.sum(lv * lv, axis=0, keepdims=True))
@@ -690,11 +695,9 @@ def trace_fused_culled(
         )
         cnt_b = jnp.where(live, cnt_b, 0)
         cnt_bf = jnp.where(live, cnt_bf, 0)
-        g_b, id_b = gathered(cand_b)
         out = shade_call(
             o3, d3, thr, alive, acc, tmin, idx, p_n, to_light,
-            mat_a, id_a, cnt_a, cnt_af, g_b, id_b, cnt_b, cnt_bf,
-            geom_t, mat_t_smem, consts,
+            matv, cand_b[:, None, :], cnt_b, cnt_bf, geom_t, consts,
         )
         return out + (pix,), None
 
@@ -704,7 +707,10 @@ def trace_fused_culled(
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.ones((_SUBLANES, m_cols), dtype),
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
-        jnp.arange(n_pad, dtype=jnp.int32),  # flat ray id, tracks the sorts
+        # Per-GROUP id: the sorts only ever permute whole _SORT_G-ray
+        # groups, so the undo is a cheap block gather, not a 2M-element
+        # per-ray gather (~9 ms saved — docs/PERF.md trace).
+        jnp.arange(n_pad // _SORT_G, dtype=jnp.int32),
     )
     carry, _ = bounce(init, None, primary=True)
     if cfg.max_depth > 1:
@@ -712,6 +718,7 @@ def trace_fused_culled(
             functools.partial(bounce, primary=False), carry, None, length=cfg.max_depth - 1
         )
     acc_f = unpack_tiles(carry[4], b_cols)  # (3, N_pad), sorted ray order
-    if cfg.max_depth > 1:  # undo the per-bounce sorts
-        acc_f = jnp.take(acc_f, jnp.argsort(carry[5]), axis=1)
+    if cfg.max_depth > 1:  # undo the per-bounce sorts at group granularity
+        acc_g = acc_f.reshape(3, n_pad // _SORT_G, _SORT_G)
+        acc_f = jnp.take(acc_g, jnp.argsort(carry[5]), axis=1).reshape(3, n_pad)
     return acc_f.T[:n]
