@@ -67,14 +67,17 @@ MAX_CULL_EXACT = 8  # exact-tier spheres are swept unconditionally
 # (docs/PERF.md), so the culled path now owns all depths.
 MAX_CULL_DEPTH = 4096
 
-_MCOLS = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
+# Material columns the shade kernel consumes (pre-gathered by winner
+# index in XLA glue).  Geometry columns are NOT here: hit point and
+# normal come out of the nearest kernel directly.
+_MCOLS = (_DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
 
 # Reflected-bounce re-sort granularity: contiguous ray groups moved as
 # blocks (block gathers run at HBM speed; per-ray element gathers do
 # not — see trace_fused_culled).  Must divide the tile size (8*b_cols).
-# 64-ray groups: the CPU quality probe scored 128 marginally better at
-# 4096-ray tiles, but on the chip 64 wins (0.148 vs 0.155 s) — finer
-# groups pack the live set tighter than the centroid-key model predicts.
+# 64-ray groups: on-chip sweet spot (64: 0.146, 128: 0.155, 32: 0.156 s
+# at config 4) — finer groups pack live rays tighter than the CPU
+# centroid-key probe predicts, until sub-64 rows throttle the gather.
 _SORT_G = 64
 
 # Ray-tile size for the culled kernels.  Smaller tiles bound tighter
@@ -372,7 +375,7 @@ def _near_kernel_culled(
 
 
 def _shade_kernel_culled(
-    o_ref, d_ref, thr_ref, alive_ref, acc_ref, t_ref, idx_ref, pn_ref, tl_ref,
+    o_ref, d_ref, thr_ref, alive_ref, acc_ref, t_ref, idx_ref, pn_ref, n_ref, tl_ref,
     matv_ref, candb_ref, cntb_ref, cntbf_ref, geom_ref, const_ref,
     o_out, d_out, thr_out, alive_out, acc_out,
     *, faraway: float, s_cheap: int, s_total: int,
@@ -385,6 +388,7 @@ def _shade_kernel_culled(
     tmin = t_ref[:, :]
     idx = idx_ref[:, :]
     p_n = (pn_ref[0], pn_ref[1], pn_ref[2])
+    normal = (n_ref[0], n_ref[1], n_ref[2])  # from the nearest kernel
     to_light = (tl_ref[0], tl_ref[1], tl_ref[2])
     shape = tmin.shape
     far = jnp.asarray(faraway, dtype)
@@ -402,9 +406,6 @@ def _shade_kernel_culled(
         return matv_ref[_MCOLS.index(col)]
 
     p = tuple(o[i_] + d[i_] * t_safe for i_ in range(3))  # shader.py:73
-    inv_r = 1.0 / m(_RAD)
-    center = (m(_CX), m(_CY), m(_CZ))
-    normal = tuple((p[i_] - center[i_]) * inv_r for i_ in range(3))  # shader.py:74
 
     def const(c):
         return const_ref[0, c]
@@ -557,7 +558,7 @@ def trace_fused_culled(
     geom = _geometry_table(scene, dtype)
     geom_t = geom.T  # (4, S) — SMEM-friendly (rows pad to 512 B each)
     mat = _material_table(scene, dtype)[: scene.spheres.count]
-    mat16 = jnp.stack([mat[:, c] for c in _MCOLS], axis=1)  # (S, 16) kernel order
+    mat16 = jnp.stack([mat[:, c] for c in _MCOLS], axis=1)  # (S, 12) kernel order
     consts = _consts_row(scene, dtype)
     light = jnp.asarray(scene.lights.point_position, dtype)
     s_total = scene.spheres.count
@@ -592,7 +593,7 @@ def trace_fused_culled(
         functools.partial(_shade_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap, s_total=s_total),
         grid=(n_tiles,),
         in_specs=[
-            vec, vec, lane, lane, vec, lane, lane, vec, vec,
+            vec, vec, lane, lane, vec, lane, lane, vec, vec, vec,
             vec16, cand_spec, smem, smem, smem, smem,
         ],
         out_specs=(vec, vec, lane, lane, vec),
@@ -682,7 +683,7 @@ def trace_fused_culled(
         # gather has no scatter-add adjoint to fear).
         far = jnp.asarray(cfg.faraway, dtype)
         hit = tmin != far
-        matv = jnp.moveaxis(jnp.take(mat16, idx, axis=0), -1, 0)  # (16, 8, M)
+        matv = jnp.moveaxis(jnp.take(mat16, idx, axis=0), -1, 0)  # (12, 8, M)
         p_n = p + normal * NUDGE
         lv = light[:, None, None] - p
         to_light = lv / jnp.sqrt(jnp.sum(lv * lv, axis=0, keepdims=True))
@@ -696,7 +697,7 @@ def trace_fused_culled(
         cnt_b = jnp.where(live, cnt_b, 0)
         cnt_bf = jnp.where(live, cnt_bf, 0)
         out = shade_call(
-            o3, d3, thr, alive, acc, tmin, idx, p_n, to_light,
+            o3, d3, thr, alive, acc, tmin, idx, p_n, normal, to_light,
             matv, cand_b[:, None, :], cnt_b, cnt_bf, geom_t, consts,
         )
         return out + (pix,), None
