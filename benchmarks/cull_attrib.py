@@ -74,9 +74,9 @@ def main():
 
     # (tile rays, MAX_CAND) variants — constants are read at trace time,
     # so monkeypatching between fresh jits is sound.
-    variants = [(4096, 512), (4096, 1024), (2048, 512), (1024, 512)]
+    variants = [(4096, 1024)]
     if len(sys.argv) > 1:
-        variants = [tuple(int(x) for x in v.split(":")) for v in sys.argv[1:]]
+        variants = [tuple(int(x) for x in v.split(":")[:2]) for v in sys.argv[1:]]
     for tile, cap in variants:
         pc.CULL_BLOCK_RAYS = tile
         pc.MAX_CAND = cap

@@ -30,8 +30,8 @@ hemisphere, so before each reflected sweep the whole ray state is
 RE-SORTED (dead rays last, live rays binned by origin cell + direction
 bin — ``ray_sort_keys``): tiles become coherent cones again and the
 culling keeps paying at depth, while spent rays compact into tiles the
-energy cut skips outright.  A carried group id undoes the
-permutation at the end (block gather — cheap).
+energy cut skips outright.  A carried group id undoes the permutation
+at the end (block gather — cheap).
 
 Scope: hard visibility, const/checker textures, forward-only (config 4
 is a forward benchmark; training runs small scenes through the smooth
@@ -73,12 +73,17 @@ MAX_CULL_DEPTH = 4096
 _MCOLS = (_DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
 
 # Reflected-bounce re-sort granularity: contiguous ray groups moved as
-# blocks (block gathers run at HBM speed; per-ray element gathers do
-# not — see trace_fused_culled).  Must divide the tile size (8*b_cols).
-# 64-ray groups: on-chip sweet spot (64: 0.146, 128: 0.155, 32: 0.156 s
-# at config 4) — finer groups pack live rays tighter than the CPU
-# centroid-key probe predicts, until sub-64 rows throttle the gather.
+# blocks (block gathers are row-count-bound at ~92 M rows/s; per-ray
+# and per-element gathers are 4-20x slower however phrased — see
+# trace_fused_culled).  Must divide the tile size (8*b_cols).
 _SORT_G = 64
+
+# Bound-group granularity for the candidate masks: every consecutive
+# _BOUND_G-ray run gets its own conservative bounds (box + cone),
+# OR-ed into its tile's candidate list.  Decoupled from _SORT_G (any
+# consecutive _BOUND_G run stays consecutive under a coarser group
+# sort), though both sit at 64 today.
+_BOUND_G = 64
 
 # Ray-tile size for the culled kernels.  Smaller tiles bound tighter
 # interval cones (tile1024 sweeps 30% of spheres vs 43% at tile4096
@@ -254,6 +259,157 @@ def ray_sort_keys(
     return jnp.where(live, key, _DEAD_KEY | key)
 
 
+def _group_cull_mask(
+    o3: jax.Array,  # (3, 8, M)
+    d3: jax.Array,  # (3, 8, M)
+    center: jax.Array,  # (S, 3)
+    radius: jax.Array,  # (S,)
+    b_cols: int,
+    valid: jax.Array | None,
+    light: jax.Array | None = None,  # (3,) — shadow rays aim at this point
+) -> jax.Array:
+    """(T, S) candidate mask as the UNION of per-_BOUND_G-ray-group tests.
+
+    One interval box over a whole 4096-ray tile is hopeless after a
+    mirror bounce: the measured false-positive rate was 94% (mean 419
+    candidates listed vs 25 actually hit — benchmarks/key_layout_probe
+    .py).  Bounding each 64-ray group separately and OR-ing group masks
+    into the tile list roughly halves the sweep work (mean 218).  Each
+    group gets TWO conservative tests, AND-ed (the intersection of two
+    conservative tests is conservative):
+
+    * the componentwise interval box test (as before, per group), and
+    * a point-apex cone test: apex = origin-box center, origin spread
+      folded into the sphere radius, axis = mean direction, half-angle
+      from the worst live ray.  ``cos b >= cos(theta + phi)`` evaluated
+      purely algebraically (no transcendentals), with the wrap case
+      ``theta + phi >= pi`` admitted unconditionally.
+
+    Bound groups are consecutive _BOUND_G-ray runs (whole groups under
+    the _SORT_G-granular sort, so sorting never splits one).
+    """
+    dtype = o3.dtype
+    sub, m = o3.shape[1], o3.shape[2]
+    t = m // b_cols
+    k = b_cols // _BOUND_G
+    s = center.shape[0]
+
+    def grouped(v3):
+        return v3.reshape(3, sub, t, k, _BOUND_G)
+
+    og, dg = grouped(o3), grouped(d3)
+    big = jnp.asarray(1.0e30, dtype)
+    if valid is None:
+        vg = None
+        o_lo = og.min(axis=-1)
+        o_hi = og.max(axis=-1)
+        d_lo = dg.min(axis=-1)
+        d_hi = dg.max(axis=-1)
+        live_g = jnp.ones((sub, t, k), bool)
+    else:
+        vg = valid.reshape(1, sub, t, k, _BOUND_G)
+        o_lo = jnp.where(vg, og, big).min(axis=-1)
+        o_hi = jnp.where(vg, og, -big).max(axis=-1)
+        d_lo = jnp.where(vg, dg, big).min(axis=-1)
+        d_hi = jnp.where(vg, dg, -big).max(axis=-1)
+        live_g = vg[0].any(axis=-1)
+
+    # Cone parameters per group.  Apex = origin-box center; the box
+    # half-diagonal is a conservative bound on any origin's distance
+    # from the apex and is folded into each sphere's radius.
+    apex = 0.5 * (o_lo + o_hi)
+    ext = o_hi - o_lo
+    pad = 0.5 * jnp.sqrt(ext[0] ** 2 + ext[1] ** 2 + ext[2] ** 2)
+    axis = d_lo + d_hi  # mean direction, unnormalized
+    a_n = jnp.sqrt(axis[0] ** 2 + axis[1] ** 2 + axis[2] ** 2)
+    axis = axis / jnp.maximum(a_n, 1e-9)
+    cosang = sum(dg[i] * axis[i][..., None] for i in range(3))
+    if vg is not None:
+        cosang = jnp.where(vg[0], cosang, 1.0)
+    cos_t = jnp.clip(cosang.min(axis=-1), -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+    def flat(x):
+        return x.reshape(-1)  # (NG,) with NG = sub*t*k
+
+    ngl = (sub * t * k,)
+    n2_lo = jnp.zeros(ngl + (s,), dtype)
+    s_lo = jnp.zeros(ngl + (s,), dtype)
+    s_hi = jnp.zeros(ngl + (s,), dtype)
+    vdotu = jnp.zeros(ngl + (s,), dtype)
+    d2 = jnp.zeros(ngl + (s,), dtype)
+    for i in range(3):
+        oc_l = flat(o_lo[i])[:, None] - center[None, :, i]
+        oc_h = flat(o_hi[i])[:, None] - center[None, :, i]
+        straddle = (oc_l <= 0) & (oc_h >= 0)
+        n2_lo += jnp.where(straddle, 0.0, jnp.minimum(oc_l**2, oc_h**2))
+        plo, phi = _interval_prod(
+            flat(d_lo[i])[:, None], flat(d_hi[i])[:, None], oc_l, oc_h
+        )
+        s_lo += plo
+        s_hi += phi
+        v_i = center[None, :, i] - flat(apex[i])[:, None]
+        vdotu += v_i * flat(axis[i])[:, None]
+        d2 += v_i * v_i
+    r2 = (radius**2)[None, :]
+    box = (n2_lo - jnp.maximum(s_lo**2, s_hi**2) <= r2) & ((s_lo < 0) | (n2_lo <= r2))
+
+    dist = jnp.sqrt(d2)
+    rr = radius[None, :] + flat(pad)[:, None]
+    sfr = jnp.minimum(rr / jnp.maximum(dist, 1e-9), 1.0)
+    cos_phi = jnp.sqrt(jnp.maximum(1.0 - sfr * sfr, 0.0))
+    ct = flat(cos_t)[:, None]
+    st = flat(sin_t)[:, None]
+    # beta <= theta + phi, via cos(beta) >= cos(theta + phi); only valid
+    # while theta + phi <= pi — the wrap case (theta > pi - phi, i.e.
+    # cos_t < -cos_phi) must pass unconditionally.
+    cone = (
+        (vdotu >= jnp.maximum(dist, 1e-9) * (ct * cos_phi - st * sfr - 1e-6))
+        | (dist <= rr)
+        | (ct < -cos_phi)
+    )
+    mask_g = box & cone & flat(live_g)[:, None]
+
+    if light is not None:
+        # Shadow rays all aim at ONE point, so their LINES pass (within
+        # NUDGE — the glue normalizes L - p but shoots from p_n) through
+        # the light: the whole group's line family is a DOUBLE cone with
+        # apex at the light, axis toward the origin box, and half-angle
+        # the box's angular radius seen from the light.  A point apex
+        # has no direction-spread pad at all, which is what makes this
+        # test tight where the box/mean-direction cone is hopeless
+        # (measured: shadow lists were 2-5x looser than nearest lists —
+        # benchmarks /tmp probes, docs/PERF.md).  The mirrored nappe is
+        # REQUIRED: the reference's shadow t is unbounded, so occluders
+        # beyond the light still block (shader.py:114-128 quirk).
+        lg_v = tuple(flat(apex[i]) - light[i] for i in range(3))  # (NG,)
+        lg_d = jnp.sqrt(lg_v[0] ** 2 + lg_v[1] ** 2 + lg_v[2] ** 2)
+        lg_inv = 1.0 / jnp.maximum(lg_d, 1e-9)
+        # group angular radius from the light: box half-diagonal + NUDGE
+        # (line-through-light exactness slack), as sin
+        sg_sin = jnp.minimum((flat(pad) + NUDGE) * lg_inv, 1.0)
+        sg_cos = jnp.sqrt(jnp.maximum(1.0 - sg_sin * sg_sin, 0.0))
+        ls_dot = jnp.zeros(ngl + (s,), dtype)
+        ls_d2 = jnp.zeros(ngl + (s,), dtype)
+        for i in range(3):
+            v_i = center[None, :, i] - light[i]
+            ls_dot += v_i * (lg_v[i] * lg_inv)[:, None]
+            ls_d2 += v_i * v_i
+        ls_d = jnp.sqrt(ls_d2)
+        # r + NUDGE: translating the actual ray line (through p_n) onto
+        # the exact line through (p, light) shifts it by |p_n - p| =
+        # NUDGE, which must inflate the sphere on the other side too.
+        r_sl = radius[None, :] + NUDGE
+        ss_sin = jnp.minimum(r_sl / jnp.maximum(ls_d, 1e-9), 1.0)
+        ss_cos = jnp.sqrt(jnp.maximum(1.0 - ss_sin * ss_sin, 0.0))
+        rhs = sg_cos[:, None] * ss_cos - sg_sin[:, None] * ss_sin - 1e-6
+        lcone = (jnp.abs(ls_dot) >= jnp.maximum(ls_d, 1e-9) * rhs) | (ls_d <= r_sl)
+        mask_g = mask_g & lcone
+
+    # OR group masks into tile masks: group index order is (sub, t, k).
+    return mask_g.reshape(sub, t, k, s).any(axis=(0, 2))
+
+
 def candidate_lists(
     o3: jax.Array,  # (3, 8, M) ray origins
     d3: jax.Array,  # (3, 8, M) unit directions
@@ -261,6 +417,7 @@ def candidate_lists(
     radius: jax.Array,  # (S_cheap,)
     b_cols: int,
     valid: jax.Array | None = None,  # (8, M) lanes included in the bounds
+    light: jax.Array | None = None,  # (3,) — set for SHADOW lists only
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-tile capped candidate ids + loop counts.
 
@@ -271,9 +428,12 @@ def candidate_lists(
     everything, preserving conservativeness).
     """
     s_cheap = center.shape[0]
-    o_lo, o_hi = _tile_bounds(o3, b_cols, valid)
-    d_lo, d_hi = _tile_bounds(d3, b_cols, valid)
-    mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius)  # (T, S)
+    if b_cols % _BOUND_G == 0:
+        mask = _group_cull_mask(o3, d3, center, radius, b_cols, valid, light)
+    else:
+        o_lo, o_hi = _tile_bounds(o3, b_cols, valid)
+        d_lo, d_hi = _tile_bounds(d3, b_cols, valid)
+        mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius)
     # Stable sort on (not mask): candidates first, each group ascending by
     # sphere index — the sequential min keeps lowest-index tie semantics.
     order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True).astype(jnp.int32)
@@ -297,6 +457,33 @@ def _geom_scalars(geom_ref, k):
     # ROW to 512 bytes, so (S, 4) would cost S x 512 B (measured SMEM OOM
     # at 1024 spheres); 4 rows of S scalars cost ~4 KB.
     return geom_ref[0, k], geom_ref[1, k], geom_ref[2, k], geom_ref[3, k]
+
+
+def _sphere_sol_fast(o, d, cx, cy, cz, r):
+    """Cheap naive-root hit distance — for sweep SELECTION only.
+
+    Un-doubled ``b = d.(o-c)``, roots ``-b -/+ sqrt(b^2 - c2)``: ~24
+    vector ops and no divide, vs ~38 + a divide for the reference-exact
+    q-form ``_sphere_t`` (the sweeps dominate the config-4 frame, so per
+    -candidate ops are the budget — docs/PERF.md).  The naive small root
+    cancels catastrophically at grazing incidence, so the NEAREST kernel
+    recomputes the carried winner's t with the exact form once per tile;
+    only the argmin decision between near-tied spheres can differ, which
+    the tolerance-based parity tests admit.
+
+    Returns ``(sol, valid)``.  A negative discriminant makes ``sqrt``
+    NaN, every NaN comparison is false, and ``valid`` inherits that — no
+    clamping selects needed.
+    """
+    ocx = o[0] - cx
+    ocy = o[1] - cy
+    ocz = o[2] - cz
+    b = d[0] * ocx + d[1] * ocy + d[2] * ocz
+    c2 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    sq = jnp.sqrt(b * b - c2)
+    t0 = -b - sq
+    sol = jnp.where(t0 > 0, t0, sq - b)
+    return sol, sol > 0
 
 
 # ---------------------------------------------------------------------------
@@ -335,14 +522,14 @@ def _near_kernel_culled(
         # no pre-gathered (T, MAX_CAND, 4) arrays in HBM at all.
         sid = cand_ref[0, 0, j]
         g = _geom_scalars(geom_ref, sid)
-        t_k = _sphere_t(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
+        sol, valid = _sphere_sol_fast(o, d, g[0], g[1], g[2], g[3])
         # strict <: lowest index wins (candidates ascend)
-        return select(t_k < carry[0], t_k, sid, g, carry)
+        return select(valid & (sol < carry[0]), sol, sid, g, carry)
 
     def full_body(k, carry):
         g = _geom_scalars(geom_ref, k)
-        t_k = _sphere_t(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
-        return select(t_k < carry[0], t_k, k, g, carry)
+        sol, valid = _sphere_sol_fast(o, d, g[0], g[1], g[2], g[3])
+        return select(valid & (sol < carry[0]), sol, k, g, carry)
 
     g0 = _geom_scalars(geom_ref, 0)
     carry = (
@@ -356,7 +543,19 @@ def _near_kernel_culled(
         g = _geom_scalars(geom_ref, k)
         t_k = _sphere_t_exact(o, d, g[0], g[1], g[2], g[3], faraway, dtype)
         carry = select(t_k < carry[0], t_k, k, g, carry)
-    tmin, imin, cw = carry
+    t_sel, imin, cw = carry
+    # The sweep selected the winner on cheap naive roots; its t is now
+    # recomputed ONCE with the exact forms (q-form / compensated) on the
+    # carried geometry — grazing-incidence cancellation never reaches the
+    # hit point, shadow origin, or reported distance.  ~80 extra vector
+    # ops per TILE vs ~14 saved per CANDIDATE (hundreds at config 4).
+    t_q = _sphere_t(o, d, cw[0], cw[1], cw[2], cw[3], faraway, dtype)
+    if s_cheap < s_total:
+        t_ex = _sphere_t_exact(o, d, cw[0], cw[1], cw[2], cw[3], faraway, dtype)
+        t_win = jnp.where(imin >= s_cheap, t_ex, t_q)
+    else:
+        t_win = t_q
+    tmin = jnp.where(t_sel != far, t_win, far)
     hit = tmin != far
     t_safe = jnp.where(hit, tmin, jnp.ones_like(tmin))
     t_out[:, :] = tmin
@@ -422,11 +621,22 @@ def _shade_kernel_culled(
     # Culled hard shadow (shader.py:114-128 semantics).
     big = jnp.asarray(3.0e38, dtype)
 
+    # Shadow sweeps use the cheap naive roots directly (no winner
+    # recompute): ``in_light`` only compares the SELF distance against
+    # other spheres', generically well-separated quantities.  The one
+    # cancellation-sensitive value — the self sphere's t ~ NUDGE-sized
+    # tiny root — keeps ~1e-4 relative accuracy in f32, far from
+    # flipping the comparison (analysis in docs/PERF.md).
     def shadow_cand_body(j, carry):
         t_others, t_self = carry
         sid = candb_ref[0, 0, j]
         cx, cy, cz, r = _geom_scalars(geom_ref, sid)
-        t_k = _sphere_t(p_n, to_light, cx, cy, cz, r, faraway, dtype)
+        sol, valid = _sphere_sol_fast(p_n, to_light, cx, cy, cz, r)
+        # miss sentinel MUST be faraway (not ``big``): the exact tier
+        # below returns faraway on miss, and ``in_light = t_self <=
+        # t_others`` relies on all-miss lanes TYING at one sentinel
+        # (the reference's faraway==faraway quirk, shader.py:114-128).
+        t_k = jnp.where(valid, sol, far)
         is_self = idx == sid
         return (
             jnp.minimum(t_others, jnp.where(is_self, big, t_k)),
@@ -436,7 +646,8 @@ def _shade_kernel_culled(
     def shadow_full_body(k, carry):
         t_others, t_self = carry
         cx, cy, cz, r = _geom_scalars(geom_ref, k)
-        t_k = _sphere_t(p_n, to_light, cx, cy, cz, r, faraway, dtype)
+        sol, valid = _sphere_sol_fast(p_n, to_light, cx, cy, cz, r)
+        t_k = jnp.where(valid, sol, far)
         is_self = idx == k
         return (
             jnp.minimum(t_others, jnp.where(is_self, big, t_k)),
@@ -635,13 +846,16 @@ def trace_fused_culled(
             # conservative), so only the tile energy cut — already
             # sub-quantum — sees the permutation.
             #
-            # The permutation moves contiguous _SORT_G-ray GROUPS keyed by
-            # their live-weighted centroid, not individual rays: a per-ray
-            # element gather of the 12-channel state costs ~105 ms at 2M
-            # rays on v5e (minor-axis gathers are per-element), the
-            # 128-ray block gather ~4 ms, and consecutive rays are already
-            # coherent enough that group sorting keeps ~95% of the
-            # culling (benchmarks/glue_probe.py, sort_cull_stats.py).
+            # The permutation moves contiguous _SORT_G-ray GROUPS keyed
+            # by their live-weighted centroid, not individual rays.  A
+            # true per-ray sort WAS tried (it halves the candidate sweep
+            # work: 555k -> 218k nearest candidate-tiles on the CPU
+            # probe) but moving the 12-channel state per ray costs
+            # 15-75 ms/bounce however it is phrased — 1-D per-channel
+            # takes, minor-axis takes, and 13-operand lax.sort all
+            # bottom out at >=1.4 ms per 2M-element gather on v5e —
+            # while the 64-ray block gather moves the same bytes in
+            # ~4 ms total (row-count-bound, ~92 M rows/s).
             state = jnp.concatenate(
                 [
                     unpack_tiles(o3, b_cols),
@@ -692,7 +906,8 @@ def trace_fused_culled(
         # visible energy — miss/spent lanes' junk p_n would blow the box.
         shadow_valid = hit & (thr * alive > dead_thr)
         cand_b, cnt_b, cnt_bf = candidate_lists(
-            p_n, to_light, center_cheap, radius_cheap, b_cols, valid=shadow_valid
+            p_n, to_light, center_cheap, radius_cheap, b_cols,
+            valid=shadow_valid, light=light,
         )
         cnt_b = jnp.where(live, cnt_b, 0)
         cnt_bf = jnp.where(live, cnt_bf, 0)
@@ -710,7 +925,7 @@ def trace_fused_culled(
         jnp.zeros((3, _SUBLANES, m_cols), dtype),
         # Per-GROUP id: the sorts only ever permute whole _SORT_G-ray
         # groups, so the undo is a cheap block gather, not a 2M-element
-        # per-ray gather (~9 ms saved — docs/PERF.md trace).
+        # per-ray gather (docs/PERF.md trace).
         jnp.arange(n_pad // _SORT_G, dtype=jnp.int32),
     )
     carry, _ = bounce(init, None, primary=True)
