@@ -31,7 +31,7 @@ from python_ray_tracer_tpu.camera import ray_directions_t
 from python_ray_tracer_tpu.models.scenes import random_spheres_scene
 
 W, H, DEPTH, S = 1920, 1080, 4, 1024
-FRAMES = 3
+FRAMES = 10
 
 
 def timed(name, fn, *args):
@@ -78,6 +78,17 @@ def main():
     if len(sys.argv) > 1:
         variants = [tuple(int(x) for x in v.split(":")[:2]) for v in sys.argv[1:]]
     for tile, cap in variants:
+        if tile == 0:  # lane-kernel baseline (the 0.29 s round-1 path)
+            from python_ray_tracer_tpu.ops.pallas_bounce import trace_fused
+
+            def lane(dirs_t, scene, bump):
+                import dataclasses
+                cam = dataclasses.replace(scene.camera, position=scene.camera.position + bump * 1e-9)
+                sc = dataclasses.replace(scene, camera=cam)
+                return trace_fused(sc.camera.position, dirs_t, sc, cfg, transposed=True)
+
+            timed("lane_kernel_baseline", lane, dirs_t, scene)
+            continue
         pc.CULL_BLOCK_RAYS = tile
         pc.MAX_CAND = cap
         timed(f"culled_tile{tile}_cap{cap}", culled, dirs_t, scene)
