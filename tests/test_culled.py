@@ -111,3 +111,45 @@ def test_culled_deep_render_matches_xla():
     diff = np.abs(got - exp)
     assert np.quantile(diff, 0.999) < 2e-3  # energy-cut tiles may differ sub-quantum
     assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_beyond_light_occluder_shadows_through_light_cone():
+    """The reference's shadow t is unbounded, so an occluder BEYOND the
+    light still blocks (shader.py:114-128 quirk).  The culled path's
+    light-apex shadow test is a DOUBLE cone precisely to keep such
+    occluders in the candidate lists — this pins both the quirk and the
+    cone's mirrored nappe (a single-nappe test would silently drop the
+    occluder and light the pixel)."""
+    from python_ray_tracer_tpu.models.scenes import make_sphere_row
+    from python_ray_tracer_tpu.ops.pallas_culled import trace_fused_culled
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene
+
+    def scene_with(occluder: bool):
+        rows = [
+            # target sphere, hit by central rays
+            make_sphere_row((0.0, 0.25, -3.0), 0.5, diffuse_gain=1.0,
+                            diffuse_color=(0.9, 0.2, 0.2), specular_gain=0.2),
+            # unrelated lit sphere off to the side
+            make_sphere_row((2.5, 0.25, -3.0), 0.5, diffuse_gain=1.0,
+                            diffuse_color=(0.2, 0.9, 0.2), specular_gain=0.2),
+        ]
+        if occluder:
+            # on the line (target hit point -> light), BEYOND the light
+            rows.append(make_sphere_row((0.0, 0.25, 9.0), 0.5))
+        spheres = build_spheres(rows)
+        lights = build_lights((0.0, 0.25, 5.0))
+        return make_scene(spheres, lights, (0.0, 0.25, 1.0), 96, 54)
+
+    cfg_x = RenderConfig(max_depth=1, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=1, dtype=jnp.float32, use_pallas=True,
+                         pallas_interpret=True, block_rays=512)
+    for occ in (True, False):
+        scene = scene_with(occ)
+        exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x)).reshape(-1, 3)
+        dirs = ray_directions(scene.camera, jnp.float32, None)
+        got = np.asarray(trace_fused_culled(scene.camera.position, dirs, scene, cfg_p))
+        assert np.quantile(np.abs(got - exp), 0.999) < 2e-3, f"occluder={occ}"
+    # and the quirk itself: the occluded render is darker at the target
+    lit = np.asarray(jax.jit(render, static_argnums=1)(scene_with(False), cfg_x))
+    shad = np.asarray(jax.jit(render, static_argnums=1)(scene_with(True), cfg_x))
+    assert shad.sum() < lit.sum() - 1.0, "beyond-light occluder must shadow"
