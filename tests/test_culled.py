@@ -153,3 +153,56 @@ def test_beyond_light_occluder_shadows_through_light_cone():
     lit = np.asarray(jax.jit(render, static_argnums=1)(scene_with(False), cfg_x))
     shad = np.asarray(jax.jit(render, static_argnums=1)(scene_with(True), cfg_x))
     assert shad.sum() < lit.sum() - 1.0, "beyond-light occluder must shadow"
+
+
+def test_shadow_candidate_lists_conservative_with_light_cone():
+    """Property test of the light-apex double-cone path: for shadow rays
+    built EXACTLY like the production glue (origin p_n = p + n*NUDGE,
+    direction normalize(light - p) — note: from p, not p_n), every
+    sphere any valid ray intersects must appear in its tile's list."""
+    from python_ray_tracer_tpu.ops.pallas_culled import _SORT_G
+    from python_ray_tracer_tpu.ops.shading import NUDGE
+
+    rng = np.random.default_rng(42)
+    s = 192
+    center = jnp.asarray(rng.uniform([-8, -1, -8], [8, 6, 8], size=(s, 3)), jnp.float32)
+    radius = jnp.asarray(rng.uniform(0.1, 0.6, size=s), jnp.float32)
+    light = jnp.asarray([1.5, 7.0, -2.0], jnp.float32)
+
+    n = 16 * 4096
+    b_cols = 512 // 8
+    # hit points on random sphere surfaces (the real distribution)
+    sid = np.sort(rng.integers(0, s, size=n))  # production rays arrive
+    # group-sorted by origin cell; sorting by source sphere mimics that
+    nrm = rng.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    p = np.asarray(center)[sid] + np.asarray(radius)[sid, None] * nrm
+    p_n = jnp.asarray(p + nrm * NUDGE, jnp.float32)
+    d = np.asarray(light)[None, :] - p
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    valid = rng.random(n) < 0.8  # some spent lanes, as in production
+
+    o3 = pack_tiles(p_n.T, b_cols)
+    d3 = pack_tiles(d.T, b_cols)
+    v3 = pack_tiles(jnp.asarray(valid, jnp.float32)[None], b_cols)[0] > 0
+    cand, cnt, cnt_f = candidate_lists(
+        o3, d3, center, radius, b_cols, valid=v3, light=light
+    )
+
+    res = intersect_all_stable(p_n, d, center, radius, 1e30)
+    hits = np.asarray(res.t) < 1e30
+    cand_np, cnt_np = np.asarray(cand), np.asarray(cnt)[0]
+    full_np = np.asarray(cnt_f)[0]
+    block = b_cols * 8
+    for t in range(n // block):
+        if full_np[t] > 0:
+            continue
+        rays = np.arange(t * block, (t + 1) * block)
+        rays = rays[valid[rays]]
+        need = np.unique(np.nonzero(hits[rays])[1])
+        listed = set(cand_np[t, : cnt_np[t]].tolist())
+        missing = [int(x) for x in need if int(x) not in listed]
+        assert not missing, f"tile {t}: shadow candidates missing {missing}"
+    # and the light cone must actually tighten: scattered-origin shadow
+    # tiles would otherwise list most of the table
+    assert float((cnt_np + full_np).mean()) < 0.6 * s
