@@ -226,7 +226,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--depth", type=int, default=3)
-    p.add_argument("--steps", type=int, default=50, help="Adam steps per timed on-device scan")
+    p.add_argument("--steps", type=int, default=200, help="Adam steps per timed on-device scan")
     p.add_argument("--block-rays", type=int, default=2048, help="Pallas ray-tile size")
     p.set_defaults(fn=cmd_bench)
 

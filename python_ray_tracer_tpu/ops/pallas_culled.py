@@ -6,21 +6,26 @@ BASELINE config 4 (1024 spheres, 1920x1080, depth 4) at ~7 Mrays/s
 (``shape.py:28-51`` is called per shape per batch, ``base.py:97``); this
 module adds the TPU-native equivalent of one:
 
-* Each ray tile (the Pallas grid step, 8x256 rays) is bounded by
-  componentwise intervals of its origins and directions — XLA computes
-  the bounds with two reshaped min/max reductions per bounce.
-* Every (tile, sphere) pair gets a CONSERVATIVE interval-arithmetic
-  point-line-distance test: can ANY ray in the tile's box hit the
-  sphere?  False negatives are impossible (interval bounds), so the
-  image is bitwise-identical to the unculled sweep up to reduction
-  order; false positives only cost speed.
+* Every consecutive ``_BOUND_G``-ray run is bounded by componentwise
+  intervals of its origins/directions AND a point-apex cone; each
+  (group, sphere) pair gets CONSERVATIVE algebraic tests (interval
+  point-line distance ∧ cone containment — no transcendentals), and a
+  ray tile's candidate set is the UNION of its groups' masks.  False
+  negatives are impossible, so the image matches the unculled sweep up
+  to selection-root rounding; false positives only cost speed.
+* Shadow lists get a third, far tighter test: every shadow LINE passes
+  through the point light, so a group's line family is a DOUBLE cone
+  with a point apex at the light (both nappes — the reference's shadow
+  t is unbounded, so occluders beyond the light still block).
 * A stable argsort turns the mask into per-tile candidate lists
   (ascending sphere index — preserving lowest-index-wins tie
   semantics); the kernels ``fori_loop`` over ``count`` candidates with
   dynamic SMEM scalar reads instead of sweeping all S spheres.
+* Sweeps SELECT on a cheap naive-root quadratic (``_sphere_sol_fast``)
+  and recompute the winner's t exactly once per tile.
 * The bounce splits into TWO kernels so the shadow sweep can be culled
   against the *actual* hit points: culled nearest-hit -> XLA glue
-  (winner gather, hit point, shadow-ray bounds) -> culled
+  (winner material take, hit point, shadow-ray bounds) -> culled
   shadow + shading + mirror continuation.
 
 Primary tiles are scanline strips (narrow direction cones) and shadow
@@ -742,11 +747,21 @@ def trace_fused_culled(
     scene: Scene,
     cfg,  # RenderConfig
     transposed: bool = False,
+    vma: frozenset | None = None,  # varying mesh axes when inside shard_map
 ) -> jax.Array:
-    """Hard-visibility trace with per-tile candidate-list culling."""
+    """Hard-visibility trace with per-tile candidate-list culling.
+
+    Works inside ``shard_map`` over the ray axis: every per-bounce step
+    (candidate masks, group sort, kernels) is shard-local.  ``vma`` (or
+    the varying set read off ``direction``'s type) annotates the kernel
+    outputs; replicated tables are pcast to varying so every pallas
+    operand agrees (the same contract as trace_fused_smooth_sub).
+    """
     from .pallas_bounce import _ray_state_t
 
     dtype = cfg.dtype
+    if vma is None:
+        vma = frozenset(getattr(jax.typeof(direction), "vma", frozenset())) or None
     # Default 4096-ray tiles: per-candidate vector work spans 4 vregs per
     # op, so the serial scalar candidate reads hide behind it; smaller
     # requested blocks round up (more padding, same semantics).
@@ -787,16 +802,21 @@ def trace_fused_culled(
     # trailing dims equal the array's — the Mosaic block-shape rule).
     cand_spec = pl.BlockSpec((1, 1, MAX_CAND), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
 
+    def _sds(shape, dt):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, dt)
+        return jax.ShapeDtypeStruct(shape, dt, vma=vma)
+
     near_call = pl.pallas_call(
         functools.partial(_near_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap, s_total=s_total),
         grid=(n_tiles,),
         in_specs=[vec, vec, cand_spec, smem, smem, smem],
         out_specs=(lane, lane, vec, vec),
         out_shape=(
-            jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((_SUBLANES, m_cols), jnp.int32),
-            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
+            _sds((_SUBLANES, m_cols), dtype),
+            _sds((_SUBLANES, m_cols), jnp.int32),
+            _sds((3, _SUBLANES, m_cols), dtype),
+            _sds((3, _SUBLANES, m_cols), dtype),
         ),
         interpret=cfg.pallas_interpret,
     )
@@ -809,14 +829,25 @@ def trace_fused_culled(
         ],
         out_specs=(vec, vec, lane, lane, vec),
         out_shape=(
-            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((_SUBLANES, m_cols), dtype),
-            jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),
+            _sds((3, _SUBLANES, m_cols), dtype),
+            _sds((3, _SUBLANES, m_cols), dtype),
+            _sds((_SUBLANES, m_cols), dtype),
+            _sds((_SUBLANES, m_cols), dtype),
+            _sds((3, _SUBLANES, m_cols), dtype),
         ),
         interpret=cfg.pallas_interpret,
     )
+
+    if vma:
+        def _to_varying(x):
+            missing = tuple(a for a in vma if a not in getattr(jax.typeof(x), "vma", frozenset()))
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        # Every pallas operand must agree on the varying set: the ray
+        # state is varying already; the replicated tables get pcast.
+        o3, d3, geom_t, mat16, consts = (
+            _to_varying(x) for x in (o3, d3, geom_t, mat16, consts)
+        )
 
     # Below this throughput a bounce cannot move the uint8 image (half a
     # quantum is ~2e-3; color magnitudes are ~O(1)); tiles whose every
@@ -936,6 +967,9 @@ def trace_fused_culled(
         # per-ray gather (docs/PERF.md trace).
         jnp.arange(n_pad // _SORT_G, dtype=jnp.int32),
     )
+    if vma:
+        # scan carries must enter varying (the body outputs are varying)
+        init = tuple(_to_varying(x) for x in init)
     carry, _ = bounce(init, None, primary=True)
     if cfg.max_depth > 1:
         carry, _ = jax.lax.scan(

@@ -394,6 +394,20 @@ def trace(
     # sharding the in-kernel reductions finish with the collective combines
     # below (VERDICT r1 item 4).
     fused = cfg.use_pallas and not smooth and cfg.tie_mode == "first"
+    if fused and sphere_axis is None and key is None and atlas_dummy and not cfg.ray_chunk:
+        # Ray-sharded (or direct-API) big scenes take the tile-culled
+        # kernels — 3x the blocked sweep at config 4 (docs/PERF.md) and
+        # entirely shard-local (candidate masks, group sort, kernels).
+        from .ops.pallas_culled import (
+            MAX_CULL_DEPTH, MAX_CULL_EXACT, MIN_CULL_SPHERES, trace_fused_culled,
+        )
+
+        if (
+            scene.spheres.count >= MIN_CULL_SPHERES
+            and scene.spheres.n_exact <= MAX_CULL_EXACT
+            and cfg.max_depth <= MAX_CULL_DEPTH
+        ):
+            return trace_fused_culled(origin, direction, scene, cfg, vma=vma_dir or None)
     if fused:
         from .ops.pallas_intersect import nearest_hit_pallas, shadow_hard_pallas, shadow_parts_pallas
     vma_sweep = frozenset(getattr(jax.typeof(sweep_center), "vma", frozenset()))

@@ -98,3 +98,24 @@ def test_fused_smooth_inside_ray_sharding():
         a, b = np.asarray(g1[key]), np.asarray(g2[key])
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
+def test_culled_kernels_inside_ray_sharding():
+    """Big scenes under ray sharding route to the tile-culled kernels
+    (trace() dispatch); 2-way tile-parallel culled render == the
+    single-device XLA path.  2 shards (not 8): each shard pads its rays
+    to the 4096-ray cull tile, and with 8 shards of a small test frame
+    the padded lanes would dominate the numerics of nothing — 2 shards
+    keep real rays in every tile while still exercising vma plumbing."""
+    from python_ray_tracer_tpu.models.scenes import random_spheres_scene
+
+    scene = random_spheres_scene(n_spheres=256, width=128, height=72)
+    cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32)
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True,
+                         pallas_interpret=True, block_rays=512)
+    exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x))
+    mesh = make_mesh(2, 1)
+    got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg_p, mesh))
+    diff = np.abs(got - exp)
+    assert np.quantile(diff, 0.999) < 2e-3
+    assert (diff > 1e-2).mean() < 1e-3
