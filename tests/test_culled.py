@@ -206,3 +206,17 @@ def test_shadow_candidate_lists_conservative_with_light_cone():
     # and the light cone must actually tighten: scattered-origin shadow
     # tiles would otherwise list most of the table
     assert float((cnt_np + full_np).mean()) < 0.6 * s
+
+
+def test_culled_render_supersampled_matches_xla():
+    """Jittered supersampling composes with the culled path (each sample
+    re-enters the per-bounce sort/cull machinery with different rays)."""
+    scene = random_spheres_scene(n_spheres=128, width=64, height=36)
+    cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32, samples_per_pixel=2)
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, samples_per_pixel=2,
+                         use_pallas=True, pallas_interpret=True, block_rays=512)
+    exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x))
+    got = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_p))
+    diff = np.abs(got - exp)
+    assert np.quantile(diff, 0.999) < 2e-3
+    assert (diff > 1e-2).mean() < 1e-3
