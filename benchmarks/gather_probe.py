@@ -96,6 +96,21 @@ def stage1() -> dict[str, bool]:
 
     res["sublane_gather_8x128"] = _try("sublane_gather_8x128", sublane_gather)
 
+    def lane_gather_wide_table():
+        # what the shade kernel wants directly: (8, S) table row gathered
+        # by (8, B) indices with B != S
+        def k(x_ref, i_ref, o_ref):
+            o_ref[...] = jnp.take_along_axis(x_ref[...], i_ref[...], axis=1)
+
+        x = jnp.arange(8 * 1024, dtype=jnp.float32).reshape(8, 1024)
+        i = jnp.full((8, 256), 777, jnp.int32)
+        out = _call(
+            k, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32)
+        )(x, i)
+        np.testing.assert_allclose(np.asarray(out)[:, 0], np.asarray(x)[:, 777])
+
+    res["lane_gather_wide_table"] = _try("lane_gather_wide_table", lane_gather_wide_table)
+
     def broadcast_row_gather():
         # the composite the shade kernel would actually use: out[s, l] =
         # row[idx[s, l]] for a (1024,) table row, via 8 per-vreg gathers

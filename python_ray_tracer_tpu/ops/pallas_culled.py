@@ -77,6 +77,18 @@ MAX_CULL_DEPTH = 4096
 # normal come out of the nearest kernel directly.
 _MCOLS = (_DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
 
+# How the shade kernel obtains the winner's material row:
+#   "xla"       — glue pre-gathers (12, 8, M) rows with one per-lane take
+#                 (row-count-bound: 11 + 3.7 ms per config-4 frame).
+#   "direct"    — kernel gathers from a VMEM (12, S_pad) table with one
+#                 cross-vreg take_along_axis per channel.
+#   "piecewise" — same, but phrased as (8, 128)-tile gathers + selects
+#                 (the conservative form if Mosaic rejects cross-vreg
+#                 lane gathers).
+# benchmarks/gather_probe.py measures which of these this jaxlib lowers
+# and how fast; parity across all three is pinned by tests/test_culled.py.
+MAT_GATHER_MODE = "xla"
+
 # Reflected-bounce re-sort granularity: contiguous ray groups moved as
 # blocks (block gathers are row-count-bound at ~92 M rows/s; per-ray
 # and per-element gathers are 4-20x slower however phrased — see
@@ -582,7 +594,7 @@ def _shade_kernel_culled(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref, t_ref, idx_ref, pn_ref, n_ref, tl_ref,
     matv_ref, candb_ref, cntb_ref, cntbf_ref, geom_ref, const_ref,
     o_out, d_out, thr_out, alive_out, acc_out,
-    *, faraway: float, s_cheap: int, s_total: int,
+    *, faraway: float, s_cheap: int, s_total: int, mat_mode: str = "xla",
 ):
     dtype = o_ref.dtype
     o = (o_ref[0], o_ref[1], o_ref[2])
@@ -602,12 +614,42 @@ def _shade_kernel_culled(
     coverage = hit * alive
     t_safe = jnp.where(hit > 0, tmin, jnp.ones_like(tmin))
 
-    # Winner material arrives PRE-GATHERED by the XLA glue (a per-lane
+    # Winner material: either PRE-GATHERED by the XLA glue (a per-lane
     # take on the winner index — forward-only, so no scatter-add adjoint
-    # risk).  The previous in-kernel select loop (16 vector selects per
-    # candidate) cost more VPU work than the nearest sweep itself.
-    def m(col):
-        return matv_ref[_MCOLS.index(col)]
+    # risk) or gathered here from the (12, S_pad) VMEM table with Mosaic
+    # lane gathers (MAT_GATHER_MODE).  The in-kernel SELECT loop (16
+    # vector selects per candidate) was priced out — it cost more VPU
+    # work than the nearest sweep itself; a dynamic gather is O(S/128)
+    # per channel instead of O(candidates).
+    if mat_mode == "xla":
+        def m(col):
+            return matv_ref[_MCOLS.index(col)]
+    else:
+        s_pad = matv_ref.shape[1]
+        b = idx.shape[1]
+        gathered = []
+        for c in range(len(_MCOLS)):
+            row = matv_ref[c, :]  # (s_pad,)
+            if mat_mode == "direct":
+                rb = jax.lax.broadcast_in_dim(row, (idx.shape[0], s_pad), (1,))
+                gathered.append(jnp.take_along_axis(rb, idx, axis=1))
+            else:  # piecewise: per-vreg gathers + hi-bit selects
+                hi_i, lo_i = idx // 128, idx % 128
+                acc_g = jnp.zeros(idx.shape, dtype)
+                for kk in range(s_pad // 128):
+                    piece = jax.lax.broadcast_in_dim(
+                        row[kk * 128 : (kk + 1) * 128], (idx.shape[0], 128), (1,)
+                    )
+                    cols = [
+                        jnp.take_along_axis(piece, lo_i[:, c0 : c0 + 128], axis=1)
+                        for c0 in range(0, b, 128)
+                    ]
+                    g_full = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+                    acc_g = jnp.where(hi_i == kk, g_full, acc_g)
+                gathered.append(acc_g)
+
+        def m(col):
+            return gathered[_MCOLS.index(col)]
 
     p = tuple(o[i_] + d[i_] * t_safe for i_ in range(3))  # shader.py:73
 
@@ -785,6 +827,11 @@ def trace_fused_culled(
     geom_t = geom.T  # (4, S) — SMEM-friendly (rows pad to 512 B each)
     mat = _material_table(scene, dtype)[: scene.spheres.count]
     mat16 = jnp.stack([mat[:, c] for c in _MCOLS], axis=1)  # (S, 12) kernel order
+    if MAT_GATHER_MODE != "xla":
+        # in-kernel gather reads a (12, S_pad) table (lane-padded to the
+        # vreg width; winner idx < S so the pad is never addressed)
+        s_pad128 = _round_up(scene.spheres.count, 128)
+        mat16 = jnp.zeros((len(_MCOLS), s_pad128), dtype).at[:, : scene.spheres.count].set(mat16.T)
     consts = _consts_row(scene, dtype)
     light = jnp.asarray(scene.lights.point_position, dtype)
     s_total = scene.spheres.count
@@ -793,9 +840,12 @@ def trace_fused_culled(
     radius_cheap = jnp.asarray(scene.spheres.radius[:s_cheap], dtype)
 
     vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    vec16 = pl.BlockSpec(
-        (len(_MCOLS), _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-    )
+    if MAT_GATHER_MODE == "xla":
+        vec16 = pl.BlockSpec(
+            (len(_MCOLS), _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        vec16 = pl.BlockSpec(mat16.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # Per-tile candidate-id row in SMEM ((T, 1, MAX_CAND) so the block's
@@ -821,7 +871,10 @@ def trace_fused_culled(
         interpret=cfg.pallas_interpret,
     )
     shade_call = pl.pallas_call(
-        functools.partial(_shade_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap, s_total=s_total),
+        functools.partial(
+            _shade_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap,
+            s_total=s_total, mat_mode=MAT_GATHER_MODE,
+        ),
         grid=(n_tiles,),
         in_specs=[
             vec, vec, lane, lane, vec, lane, lane, vec, vec, vec,
@@ -931,12 +984,16 @@ def trace_fused_culled(
 
         # XLA glue: hit point + normal come OUT of the kernel (winner
         # geometry carried in-loop — an XLA `take(geom, idx)` costs
-        # 12-17 ms/bounce here); only the 16 material columns are
-        # gathered, as one wide per-lane take (forward-only, so the
-        # gather has no scatter-add adjoint to fear).
+        # 12-17 ms/bounce here); the 12 material columns are either
+        # gathered here as one wide per-lane take (forward-only, so the
+        # gather has no scatter-add adjoint to fear) or in-kernel from
+        # the whole table (MAT_GATHER_MODE).
         far = jnp.asarray(cfg.faraway, dtype)
         hit = tmin != far
-        matv = jnp.moveaxis(jnp.take(mat16, idx, axis=0), -1, 0)  # (12, 8, M)
+        if MAT_GATHER_MODE == "xla":
+            matv = jnp.moveaxis(jnp.take(mat16, idx, axis=0), -1, 0)  # (12, 8, M)
+        else:
+            matv = mat16  # (12, S_pad) table; the kernel gathers
         p_n = p + normal * NUDGE
         lv = light[:, None, None] - p
         to_light = lv / jnp.sqrt(jnp.sum(lv * lv, axis=0, keepdims=True))

@@ -220,3 +220,27 @@ def test_culled_render_supersampled_matches_xla():
     diff = np.abs(got - exp)
     assert np.quantile(diff, 0.999) < 2e-3
     assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_mat_gather_modes_match_xla_glue(monkeypatch):
+    """The in-kernel winner-material gathers ("direct" cross-vreg
+    take_along_axis and the "piecewise" per-vreg gather+select composite)
+    must reproduce the XLA pre-gather to 1 ULP: the gathered VALUES are
+    identical bits, but the changed kernel program may fuse/contract
+    downstream shading arithmetic differently (measured: one element in
+    6912 off by 1 ULP).  See MAT_GATHER_MODE / benchmarks/gather_probe.py."""
+    import python_ray_tracer_tpu.ops.pallas_culled as pc
+    from python_ray_tracer_tpu.camera import ray_directions
+
+    scene = random_spheres_scene(n_spheres=160, width=64, height=36)
+    cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True,
+                         pallas_interpret=True, block_rays=512)
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+    outs = {}
+    for mode in ("xla", "direct", "piecewise"):
+        monkeypatch.setattr(pc, "MAT_GATHER_MODE", mode)
+        outs[mode] = np.asarray(
+            pc.trace_fused_culled(scene.camera.position, dirs, scene, cfg_p)
+        )
+    np.testing.assert_allclose(outs["direct"], outs["xla"], rtol=3e-7, atol=1e-9)
+    np.testing.assert_allclose(outs["piecewise"], outs["xla"], rtol=3e-7, atol=1e-9)
