@@ -23,6 +23,7 @@ run() {
 
 run verify 1500 python -u benchmarks/verify_onchip.py
 run gather_probe 1500 python -u benchmarks/gather_probe.py
+run sortg_probe 1500 python -u benchmarks/sortg_probe.py
 run bench 1800 python -u bench.py
 run crossover 2700 python -u benchmarks/crossover_bench.py --counts 32,48,64,96,128
 run config4 1800 python -u benchmarks/scale_bench.py --frames 10 --skip-xla
