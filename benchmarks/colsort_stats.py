@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--spheres", type=int, default=1024)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument(
+        "--policies", type=str, default="g64,g64+row512,g8,per_ray",
+        help="comma list: gN, gN+row512, per_ray",
+    )
     args = ap.parse_args()
 
     scene = random_spheres_scene(
@@ -151,7 +155,7 @@ def main() -> None:
     def apply_group_perm(pi, gperm, g):
         return pi.reshape(-1, g)[gperm].reshape(-1)
 
-    policies = ("g64", "g64+row512", "g8", "per_ray")
+    policies = tuple(args.policies.split(","))
     results = {p: {"nearest": [], "shadow": []} for p in policies}
     pis = {p: np.arange(n_pad) for p in policies}
 
@@ -179,10 +183,10 @@ def main() -> None:
                 ))
                 pi = pi[np.argsort(keys, kind="stable")]
             else:
-                g = 8 if p == "g8" else 64
+                g = int(p.split("+")[0][1:])
                 gperm = np.argsort(centroid_keys(o_f, d_f, lv_f, g), kind="stable")
                 pi = apply_group_perm(pi, gperm, g)
-                if p == "g64+row512":
+                if p.endswith("+row512"):
                     # in-row refinement: per consecutive 512-ray segment
                     # (one packed sublane row), sort rays per-ray
                     o_f, d_f = st["o"][:, pi], st["d"][:, pi]

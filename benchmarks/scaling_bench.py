@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument(
+        "--train", action="store_true",
+        help="measure full sharded Adam steps (fwd+bwd+psum+update) instead "
+        "of forward frames — BASELINE config 5's multi-device shape",
+    )
     args = ap.parse_args()
 
     if args.virtual:
@@ -52,6 +57,37 @@ def main() -> None:
     n_rays = args.width * args.height
 
     def timed(mesh) -> float:
+        import numpy as np
+
+        if args.train:
+            import optax
+
+            from python_ray_tracer_tpu.optim import make_loss_fn, scene_to_params
+
+            target = jnp.clip(render_sharded(scene, cfg, mesh), 0.0, 1.0) * 0.9
+            loss_fn = make_loss_fn(scene, target, cfg, mesh=mesh)
+            optimizer = optax.adam(1e-3)
+            params0 = scene_to_params(scene)
+
+            @jax.jit
+            def run(params, opt_state):
+                def body(carry, _):
+                    p, s = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    updates, s = optimizer.update(grads, s, p)
+                    return (optax.apply_updates(p, updates), s), loss
+
+                (_, _), losses = jax.lax.scan(
+                    body, (params, opt_state), None, length=args.frames
+                )
+                return losses[-1]
+
+            opt0 = optimizer.init(params0)
+            float(np.asarray(run(params0, opt0)))  # compile + warm
+            t0 = time.perf_counter()
+            float(np.asarray(run(params0, opt0)))
+            return (time.perf_counter() - t0) / args.frames
+
         @jax.jit
         def run(scene):
             def body(carry, _):
@@ -64,14 +100,17 @@ def main() -> None:
             )
             return final
 
-        import numpy as np
-
         float(np.asarray(run(scene)))  # compile + warm (forced host fetch)
         t0 = time.perf_counter()
         float(np.asarray(run(scene)))
         return (time.perf_counter() - t0) / args.frames
 
-    results = {"device": jax.devices()[0].platform, "n_devices": n_dev, "points": []}
+    results = {
+        "device": jax.devices()[0].platform,
+        "n_devices": n_dev,
+        "mode": "train_step" if args.train else "forward",
+        "points": [],
+    }
     base = None
     n = 1
     while n <= n_dev:
