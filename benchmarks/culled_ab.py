@@ -1,0 +1,132 @@
+"""On-chip A/B of culled-path variants at config 4 (1024 sph, 1920x1080).
+
+Monkeypatches the module knobs that gate this round's two candidate
+changes and times full frames for each combination:
+
+  _SORT_G          64 (production) vs 32/16/8 — CPU quality probe says
+                   g8 cuts total sweep work 16% (benchmarks/
+                   colsort_stats.py); the finer interleaved gather costs
+                   what sortg_probe says.
+  MAT_GATHER_MODE  "xla" (production) vs "direct"/"piecewise" in-kernel
+                   gathers (benchmarks/gather_probe.py).
+
+    python benchmarks/culled_ab.py [--frames 10] [--depth 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_culled(scene, cfg, frames: int) -> float:
+    from python_ray_tracer_tpu.camera import ray_directions_t
+    from python_ray_tracer_tpu.ops.pallas_culled import trace_fused_culled
+
+    @jax.jit
+    def run(scene):
+        def body(carry, _):
+            cam = dataclasses.replace(
+                scene.camera, position=scene.camera.position + carry * 1e-6
+            )
+            sc = dataclasses.replace(scene, camera=cam)
+            dirs_t = ray_directions_t(sc.camera, cfg.dtype)
+            color = trace_fused_culled(sc.camera.position, dirs_t, sc, cfg, transposed=True)
+            return jnp.mean(color), None
+
+        final, _ = jax.lax.scan(
+            body, jnp.zeros((), scene.camera.position.dtype), None, length=frames
+        )
+        return final
+
+    ref = float(np.asarray(run(scene)))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = float(np.asarray(run(scene)))
+        best = min(best, (time.perf_counter() - t0) / frames)
+    assert got == ref
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--spheres", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument(
+        "--variants", type=str,
+        default="g64,g32,g16,g8,mat_direct,mat_piecewise,g8+mat_best",
+    )
+    args = ap.parse_args()
+
+    import python_ray_tracer_tpu.ops.pallas_culled as pc
+    from python_ray_tracer_tpu import RenderConfig
+    from python_ray_tracer_tpu.models.scenes import random_spheres_scene
+
+    scene = random_spheres_scene(
+        n_spheres=args.spheres, width=args.width, height=args.height, dtype=jnp.float32
+    )
+    cfg = RenderConfig(max_depth=args.depth, dtype=jnp.float32, use_pallas=True)
+
+    base_g, base_m = pc._SORT_G, pc.MAT_GATHER_MODE
+    mat_best = [None]  # filled by the mat_* variants
+
+    def set_variant(v: str):
+        pc._SORT_G, pc.MAT_GATHER_MODE = base_g, base_m
+        if v.startswith("g") and "+mat" not in v:
+            pc._SORT_G = int(v[1:])
+        elif v == "mat_direct":
+            pc.MAT_GATHER_MODE = "direct"
+        elif v == "mat_piecewise":
+            pc.MAT_GATHER_MODE = "piecewise"
+        elif v == "g8+mat_best":
+            pc._SORT_G = 8
+            if mat_best[0] is None:
+                raise RuntimeError("run mat_* variants first")
+            pc.MAT_GATHER_MODE = mat_best[0]
+        elif v != "g64":
+            raise ValueError(v)
+
+    results = {}
+    for v in args.variants.split(","):
+        try:
+            set_variant(v)
+            s = time_culled(scene, cfg, args.frames)
+            results[v] = s
+            if v.startswith("mat_") and (
+                mat_best[0] is None or s < results.get(f"mat_{mat_best[0]}", 1e9)
+            ):
+                mat_best[0] = v.split("_", 1)[1]
+            print(json.dumps({  # noqa: T201
+                "variant": v, "s_per_frame": round(s, 4),
+                "mrays_per_s": round(args.width * args.height / s / 1e6, 1),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — report lowering failures, keep going
+            print(json.dumps({  # noqa: T201
+                "variant": v, "error": str(e).splitlines()[0][:200]
+            }), flush=True)
+        finally:
+            pc._SORT_G, pc.MAT_GATHER_MODE = base_g, base_m
+
+
+if __name__ == "__main__":
+    main()

@@ -27,5 +27,6 @@ run sortg_probe 1500 python -u benchmarks/sortg_probe.py
 run bench 1800 python -u bench.py
 run crossover 2700 python -u benchmarks/crossover_bench.py --counts 32,48,64,96,128
 run config4 1800 python -u benchmarks/scale_bench.py --frames 10 --skip-xla
+run culled_ab 5400 python -u benchmarks/culled_ab.py
 
 echo "$(date -u +%FT%TZ) queue DONE" >> out/onchip/queue.log
