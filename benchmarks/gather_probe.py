@@ -185,6 +185,8 @@ def stage2(n_rays: int = 2 * 1024 * 1024, s: int = 1024, chans: int = 12) -> Non
     blk = 2048
 
     def kern(mat_ref, i_ref, o_ref):
+        # mirrors ops/pallas_culled.py mat_mode="piecewise" exactly:
+        # (8, 128)-vreg gathers with indices < 128 by construction
         idx = jnp.abs(i_ref[...]) % s
         hi, lo = idx // 128, idx % 128
         for c in range(chans):
@@ -194,8 +196,11 @@ def stage2(n_rays: int = 2 * 1024 * 1024, s: int = 1024, chans: int = 12) -> Non
                 piece = jax.lax.broadcast_in_dim(
                     row[kk * 128 : (kk + 1) * 128], (8, 128), (1,)
                 )
-                tiled = jnp.concatenate([piece] * (blk // 128), axis=1)
-                g = jnp.take_along_axis(tiled, lo, axis=1)
+                cols = [
+                    jnp.take_along_axis(piece, lo[:, c0 : c0 + 128], axis=1)
+                    for c0 in range(0, blk, 128)
+                ]
+                g = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
                 acc = jnp.where(hi == kk, g, acc)
             o_ref[c, :, :] = acc
 
@@ -218,7 +223,34 @@ def stage2(n_rays: int = 2 * 1024 * 1024, s: int = 1024, chans: int = 12) -> Non
     b = np.asarray(pallas_take(idx0, mat_t))
     np.testing.assert_allclose(a, b)
     t = _timeit(pallas_take, idx0, mat_t)
-    print(json.dumps({"probe": "pallas_take_ms", "ms": round(t * 1e3, 3)}), flush=True)  # noqa: T201
+    print(json.dumps({"probe": "pallas_take_piecewise_ms", "ms": round(t * 1e3, 3)}), flush=True)  # noqa: T201
+
+    def kern_d(mat_ref, i_ref, o_ref):
+        # the "direct" form: one cross-vreg lane gather per channel
+        idx = jnp.abs(i_ref[...]) % s
+        for c in range(chans):
+            rb = jax.lax.broadcast_in_dim(mat_ref[c, :], (8, s), (1,))
+            o_ref[c, :, :] = jnp.take_along_axis(rb, idx, axis=1)
+
+    def pallas_take_d(idx, mat_t):
+        return _call(
+            kern_d,
+            grid=(m // blk,),
+            in_specs=[
+                pl.BlockSpec((chans, s), lambda i: (0, 0)),
+                pl.BlockSpec((8, blk), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((chans, 8, blk), lambda i: (0, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((chans, 8, m), jnp.float32),
+        )(mat_t, idx)
+
+    try:
+        b = np.asarray(pallas_take_d(idx0, mat_t))
+        np.testing.assert_allclose(a, b)
+        t = _timeit(pallas_take_d, idx0, mat_t)
+        print(json.dumps({"probe": "pallas_take_direct_ms", "ms": round(t * 1e3, 3)}), flush=True)  # noqa: T201
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"probe": "pallas_take_direct_ms", "err": str(e).splitlines()[0][:160]}), flush=True)  # noqa: T201
 
 
 def main() -> None:
