@@ -74,7 +74,7 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument(
         "--variants", type=str,
-        default="g64,g32,g16,g8,mat_direct,mat_piecewise,g8+mat_best",
+        default="g64,g32,g16,g8,mat_direct,mat_piecewise,g8+mat_best,g8+tile2048",
     )
     args = ap.parse_args()
 
@@ -90,9 +90,14 @@ def main() -> None:
     base_g, base_m = pc._SORT_G, pc.MAT_GATHER_MODE
     mat_best = [None]  # filled by the mat_* variants
 
+    base_blk = pc.CULL_BLOCK_RAYS
+
     def set_variant(v: str):
-        pc._SORT_G, pc.MAT_GATHER_MODE = base_g, base_m
-        if v.startswith("g") and "+mat" not in v:
+        pc._SORT_G, pc.MAT_GATHER_MODE, pc.CULL_BLOCK_RAYS = base_g, base_m, base_blk
+        if v == "g8+tile2048":
+            pc._SORT_G = 8
+            pc.CULL_BLOCK_RAYS = 2048
+        elif v.startswith("g") and "+mat" not in v:
             pc._SORT_G = int(v[1:])
         elif v == "mat_direct":
             pc.MAT_GATHER_MODE = "direct"
@@ -125,7 +130,7 @@ def main() -> None:
                 "variant": v, "error": str(e).splitlines()[0][:200]
             }), flush=True)
         finally:
-            pc._SORT_G, pc.MAT_GATHER_MODE = base_g, base_m
+            pc._SORT_G, pc.MAT_GATHER_MODE, pc.CULL_BLOCK_RAYS = base_g, base_m, base_blk
 
 
 if __name__ == "__main__":
