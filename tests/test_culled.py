@@ -244,3 +244,26 @@ def test_mat_gather_modes_match_xla_glue(monkeypatch):
         )
     np.testing.assert_allclose(outs["direct"], outs["xla"], rtol=3e-7, atol=1e-9)
     np.testing.assert_allclose(outs["piecewise"], outs["xla"], rtol=3e-7, atol=1e-9)
+
+
+def test_sort_granularity_invariance(monkeypatch):
+    """The per-bounce re-sort granularity must not change the image
+    (candidate lists are conservative for ANY order; only the sub-quantum
+    tile energy cut sees the permutation).  Pins the planned _SORT_G=64->8
+    flip (docs/PERF.md sort-granularity curve)."""
+    import python_ray_tracer_tpu.ops.pallas_culled as pc
+    from python_ray_tracer_tpu.camera import ray_directions
+
+    scene = random_spheres_scene(n_spheres=128, width=64, height=36)
+    cfg_p = RenderConfig(max_depth=3, dtype=jnp.float32, use_pallas=True,
+                         pallas_interpret=True, block_rays=512)
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+    outs = {}
+    for g in (64, 8):
+        monkeypatch.setattr(pc, "_SORT_G", g)
+        outs[g] = np.asarray(
+            pc.trace_fused_culled(scene.camera.position, dirs, scene, cfg_p)
+        )
+    diff = np.abs(outs[8] - outs[64])
+    assert np.quantile(diff, 0.999) < 2e-3  # energy-cut tiles may differ sub-quantum
+    assert (diff > 1e-2).mean() < 1e-3
