@@ -92,9 +92,18 @@ def main() -> None:
 
     base_blk = pc.CULL_BLOCK_RAYS
 
+    base_bg = pc._BOUND_G
+
     def set_variant(v: str):
         pc._SORT_G, pc.MAT_GATHER_MODE, pc.CULL_BLOCK_RAYS = base_g, base_m, base_blk
-        if v == "g8+tile2048":
+        pc._BOUND_G = base_bg
+        if v == "base":
+            pass
+        elif v == "bound32":
+            pc._BOUND_G = 32
+        elif v == "tile2048":
+            pc.CULL_BLOCK_RAYS = 2048
+        elif v == "g8+tile2048":
             pc._SORT_G = 8
             pc.CULL_BLOCK_RAYS = 2048
         elif v.startswith("g") and "+mat" not in v:
@@ -103,11 +112,15 @@ def main() -> None:
             pc.MAT_GATHER_MODE = "direct"
         elif v == "mat_piecewise":
             pc.MAT_GATHER_MODE = "piecewise"
-        elif v == "g8+mat_best":
-            pc._SORT_G = 8
+        elif v.endswith("+mat_best") and v.startswith("g"):
+            pc._SORT_G = int(v[1:].split("+", 1)[0])
             if mat_best[0] is None:
                 raise RuntimeError("run mat_* variants first")
             pc.MAT_GATHER_MODE = mat_best[0]
+        elif v.startswith("g") and "+mat_" in v:
+            g, m = v[1:].split("+mat_", 1)
+            pc._SORT_G = int(g)
+            pc.MAT_GATHER_MODE = m
         elif v != "g64":
             raise ValueError(v)
 
@@ -126,11 +139,13 @@ def main() -> None:
                 "mrays_per_s": round(args.width * args.height / s / 1e6, 1),
             }), flush=True)
         except Exception as e:  # noqa: BLE001 — report lowering failures, keep going
+            msg = str(e).splitlines() or [type(e).__name__]
             print(json.dumps({  # noqa: T201
-                "variant": v, "error": str(e).splitlines()[0][:200]
+                "variant": v, "error": (msg[0] or type(e).__name__)[:200]
             }), flush=True)
         finally:
             pc._SORT_G, pc.MAT_GATHER_MODE, pc.CULL_BLOCK_RAYS = base_g, base_m, base_blk
+            pc._BOUND_G = base_bg
 
 
 if __name__ == "__main__":

@@ -87,13 +87,23 @@ _MCOLS = (_DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND
 #                 lane gathers).
 # benchmarks/gather_probe.py measures which of these this jaxlib lowers
 # and how fast; parity across all three is pinned by tests/test_culled.py.
-MAT_GATHER_MODE = "xla"
+# On-chip A/B at config 4 (benchmarks/culled_ab.py, 2026-08-19): "direct"
+# fails Mosaic lowering (the gather rule asserts the indices/operand
+# shape form); "piecewise" lowers and beats "xla" 0.0756 vs 0.0925
+# s/frame — the (8,128)-tile gather+select form keeps the material take
+# in VMEM instead of a row-count-bound 2M-row HBM take.
+MAT_GATHER_MODE = "piecewise"
 
 # Reflected-bounce re-sort granularity: contiguous ray groups moved as
 # blocks (block gathers are row-count-bound at ~92 M rows/s; per-ray
 # and per-element gathers are 4-20x slower however phrased — see
 # trace_fused_culled).  Must divide the tile size (8*b_cols).
-_SORT_G = 64
+# On-chip A/B at config 4 (benchmarks/culled_ab.py, 2026-08-19):
+# g64 0.0925 / g32 0.0891 / g16 0.1013 / g8 0.1176 s per frame — the
+# CPU sweep-work curve (colsort_stats.py) keeps improving down to g8,
+# but the finer interleaved (ng, 11*G) gather overtakes the sweep
+# savings below 32.  32 is the measured frame-time optimum.
+_SORT_G = 32
 
 # Bound-group granularity for the candidate masks: every consecutive
 # _BOUND_G-ray run gets its own conservative bounds (box + cone),
