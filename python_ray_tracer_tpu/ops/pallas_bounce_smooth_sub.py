@@ -20,13 +20,16 @@ The backward kernel recomputes the forward per ray tile from saved
 phases are verbatim from the lane kernel (shape-agnostic); the shadow
 product adjoint is a scalar sphere loop; sphere-side gradients reduce the
 full tile to scalars accumulated in SMEM outputs.  Gradients match
-``jax.grad`` of the XLA path (tests/test_fused_smooth_sub.py).
+``jax.grad`` of the XLA path (tests/test_fused_smooth.py).
 
 Scope: const/checker/image textures, deterministic mirror AND stochastic
 glossy (GGX-perturbed, host-fed xi) continuations — both with handwritten
-adjoints — single shard or inside shard_map, ``S <=
-MAX_SUB_SPHERES_SMOOTH`` (the loops unroll per sphere; bigger tables
-route to the blocked lane kernel, deterministic only).
+adjoints — single shard or inside shard_map.  ``S <=
+MAX_SUB_SPHERES_SMOOTH`` unrolls the sphere loops per sphere; bigger
+tables (up to ``MAX_BLK_SPHERES_SMOOTH``) switch to the BLOCKED mode
+(``lax.fori_loop`` sweeps + piecewise material gathers + one-hot matmul
+gradient scatter) with identical semantics; beyond that the blocked lane
+kernel (deterministic, const/checker only) remains the fallback.
 """
 
 from __future__ import annotations
@@ -59,8 +62,28 @@ from .pallas_intersect import _round_up
 from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 
 # The sphere loops unroll per sphere (scalar SMEM reads); past this count
-# the blocked lane kernel amortizes better and compile size stays sane.
+# compile size and the O(S * C) material select stop scaling and the
+# BLOCKED sublane mode below takes over.
 MAX_SUB_SPHERES_SMOOTH = 16
+
+# Blocked-mode ray-tile floor: the per-sphere fori_loop carries fixed
+# scalar-core overhead (loop bookkeeping + 4 dynamic SMEM reads) per
+# iteration, amortized over the tile's rays.  Measured at config 5
+# (64 spheres, 256x144, depth-3 Adam step, 2026-08-19): block 2048
+# 1.84 ms / 4096 1.29 / 8192 1.20 / 36864 1.22 — 8192 is the optimum.
+_BLK_MIN_BLOCK_RAYS = 8192
+
+# Blocked sublane mode (``blocked=True`` in params): the same (8, B)
+# full-width ray tiles and per-lane adjoint, but spheres iterate via
+# ``lax.fori_loop`` over the SMEM geometry table (winner + shadow sweeps,
+# shadow adjoint), winner materials come from piecewise per-vreg lane
+# gathers against a (C, S_pad) VMEM table transpose (the culled kernel's
+# proven MAT_GATHER_MODE="piecewise" form), and the material-gradient
+# scatter is one one-hot MXU matmul per sublane row.  Compile size is
+# O(1) in S, so 64..4096-sphere scenes train through the fused fwd+bwd
+# pair at full VPU width (VERDICT r2 item 1) — the cap is the SMEM
+# geometry table, not the kernel structure.
+MAX_BLK_SPHERES_SMOOTH = 4096
 
 # Material columns the smooth kernel consumes; atlas scenes additionally
 # select the texture id + native extents.
@@ -78,6 +101,36 @@ def _sphere_fn(k, s_cheap):
     return _block_sol_disc_plain if k < s_cheap else _block_sol_disc_exact
 
 
+def _gather_cols_blk(matT_ref, cols, idx, dtype):
+    """Per-lane winner materials from the (C, S_pad) VMEM table transpose.
+
+    Piecewise per-vreg gather (``pallas_culled.MAT_GATHER_MODE ==
+    "piecewise"``, the form measured to lower under Mosaic and beat both
+    the XLA pre-gather and the in-kernel select loop): within each
+    128-sphere piece a lane gather on the low index bits, then a hi-bit
+    select — O(S_pad/128) selects per column instead of O(S) selects.
+    """
+    s_pad = matT_ref.shape[1]
+    b = idx.shape[1]
+    hi_i, lo_i = idx // 128, idx % 128
+    out = {}
+    for c in cols:
+        row = matT_ref[c, :]  # (s_pad,)
+        acc = jnp.zeros(idx.shape, dtype)
+        for kk in range(s_pad // 128):
+            piece = jax.lax.broadcast_in_dim(
+                row[kk * 128 : (kk + 1) * 128], (idx.shape[0], 128), (1,)
+            )
+            pieces = [
+                jnp.take_along_axis(piece, lo_i[:, c0 : c0 + 128], axis=1)
+                for c0 in range(0, b, 128)
+            ]
+            g_full = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+            acc = jnp.where(hi_i == kk, g_full, acc)
+        out[c] = acc
+    return out
+
+
 class _FwdSub:
     """Forward chain per ray tile; per-lane values are full (8, B) tiles.
 
@@ -90,6 +143,7 @@ class _FwdSub:
     def __init__(self, o, d, thr, alive, refs, params, saved=None, xi=None):
         (geom_ref, mat_ref, const_ref) = refs
         (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params[:6]
+        self.blocked = bool(params[7]) if len(params) > 7 else False
         self.tex_hw = tex_hw  # (padded TH, TW) of the atlas, or None
         dtype = o[0].dtype
         shape = o[0].shape
@@ -107,27 +161,54 @@ class _FwdSub:
             imin = jnp.zeros(shape, jnp.int32)
             dmax = jnp.full(shape, -jnp.asarray(3.0e38, dtype))
             idmax = jnp.zeros(shape, jnp.int32)
-            for k in range(s_total):
-                c = _scalar_sphere(geom_ref, k)
-                sol, disc, t, _, _ = _sphere_fn(k, s_cheap)(
-                    o, d, (c[0], c[1], c[2]), c[3], faraway
+            if self.blocked:
+                # fori_loop over SMEM geometry scalars: identical
+                # per-sphere math + sequential tie semantics, O(1) compile.
+                def near_body(k, carry, fn):
+                    tmin, imin, dmax, idmax = carry
+                    c = _scalar_sphere(geom_ref, k)
+                    sol, disc, t, _, _ = fn(o, d, (c[0], c[1], c[2]), c[3], faraway)
+                    take = t < tmin  # strict: lowest index wins exact ties
+                    tmin = jnp.where(take, t, tmin)
+                    imin = jnp.where(take, k, imin)
+                    taked = disc > dmax  # strict: lowest index on disc ties
+                    dmax = jnp.where(taked, disc, dmax)
+                    idmax = jnp.where(taked, k, idmax)
+                    return tmin, imin, dmax, idmax
+
+                carry = (tmin, imin, dmax, idmax)
+                carry = jax.lax.fori_loop(
+                    0, s_cheap, functools.partial(near_body, fn=_block_sol_disc_plain), carry
                 )
-                take = t < tmin  # strict: lowest index wins exact ties
-                tmin = jnp.where(take, t, tmin)
-                imin = jnp.where(take, k, imin)
-                taked = disc > dmax  # strict: lowest index on disc ties
-                dmax = jnp.where(taked, disc, dmax)
-                idmax = jnp.where(taked, k, idmax)
+                tmin, imin, dmax, idmax = jax.lax.fori_loop(
+                    s_cheap, s_total, functools.partial(near_body, fn=_block_sol_disc_exact), carry
+                )
+            else:
+                for k in range(s_total):
+                    c = _scalar_sphere(geom_ref, k)
+                    sol, disc, t, _, _ = _sphere_fn(k, s_cheap)(
+                        o, d, (c[0], c[1], c[2]), c[3], faraway
+                    )
+                    take = t < tmin  # strict: lowest index wins exact ties
+                    tmin = jnp.where(take, t, tmin)
+                    imin = jnp.where(take, k, imin)
+                    taked = disc > dmax  # strict: lowest index on disc ties
+                    dmax = jnp.where(taked, disc, dmax)
+                    idmax = jnp.where(taked, k, idmax)
             self.hit = tmin != far
             self.idx = jnp.where(self.hit, imin, idmax)
 
-        # Per-lane material values: broadcast-select per sphere.
+        # Per-lane material values: broadcast-select per sphere (unrolled)
+        # or piecewise gathers from the VMEM table transpose (blocked).
         mcols = _MCOLS_TEX if tex_hw is not None else _MCOLS
-        mat = {c: jnp.full(shape, mat_ref[0, c], dtype) for c in mcols}
-        for k in range(1, s_total):
-            sel = self.idx == k
-            for c in mcols:
-                mat[c] = jnp.where(sel, mat_ref[k, c], mat[c])
+        if self.blocked:
+            mat = _gather_cols_blk(mat_ref, mcols, self.idx, dtype)
+        else:
+            mat = {c: jnp.full(shape, mat_ref[0, c], dtype) for c in mcols}
+            for k in range(1, s_total):
+                sel = self.idx == k
+                for c in mcols:
+                    mat[c] = jnp.where(sel, mat_ref[k, c], mat[c])
         self.mat = mat
         m = self.m
         self.c_w = (m(_CX), m(_CY), m(_CZ))
@@ -176,6 +257,20 @@ class _FwdSub:
 
         if saved_clear is not None:
             clear = saved_clear
+        elif self.blocked:
+            def sh_body(k, clear, fn):
+                c = _scalar_sphere(geom_ref, k)
+                sol, disc, _, _, _ = fn(self.p_n, self.L, (c[0], c[1], c[2]), c[3], faraway)
+                occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
+                return clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
+
+            clear = jnp.ones(shape, dtype)
+            clear = jax.lax.fori_loop(
+                0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear
+            )
+            clear = jax.lax.fori_loop(
+                s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear
+            )
         else:
             clear = jnp.ones(shape, dtype)
             for k in range(s_total):
@@ -370,7 +465,7 @@ def _bwd_kernel_sub(
     *refs,
     params,
 ):
-    (faraway, s_cheap, s_total, _, _, tex_hw, stoch) = params
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
     (
         o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
         geom_ref, mat_ref, const_ref,
@@ -407,15 +502,19 @@ def _bwd_kernel_sub(
     g_thr_o = gthr_ref[:, :]
     g_alive_o = galive_ref[:, :]
 
-    # Scalar-table gradient accumulators (SMEM) persist across grid steps;
-    # zero on the first step.
+    # Table gradient accumulators persist across grid steps; zero on the
+    # first step.  Unrolled mode: SMEM scalars; blocked mode: VMEM arrays.
     @pl.when(step == 0)
     def _init():
-        for kk in range(s_total):
-            for cc in range(4):
-                ggeom_ref[kk, cc] = 0.0
-            for cc in range(_COLS):
-                gmat_ref[kk, cc] = 0.0
+        if blocked:
+            ggeom_ref[:, :] = jnp.zeros_like(ggeom_ref)
+            gmat_ref[:, :] = jnp.zeros_like(gmat_ref)
+        else:
+            for kk in range(s_total):
+                for cc in range(4):
+                    ggeom_ref[kk, cc] = 0.0
+                for cc in range(_COLS):
+                    gmat_ref[kk, cc] = 0.0
         for cc in range(_NCONST):
             gconst_ref[0, cc] = 0.0
 
@@ -606,27 +705,75 @@ def _bwd_kernel_sub(
 
     # --- Phase C: shadow-product adjoint (scalar sphere loop) ----------
     g_pn_s = [jnp.zeros_like(g_clear) for _ in range(3)]
-    for k in range(s_total):
-        c = _scalar_sphere(geom_ref, k)
-        sol, disc, _, b, ct = _sphere_fn(k, s_cheap)(
-            f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway
+    if blocked:
+        # fori_loop twin of the unrolled loop below: lane-side adjoints
+        # ride the carry; sphere-side gradients reduce the tile to a
+        # (1, 4) row accumulated into the VMEM table at dynamic index k.
+        def c_body(k, carry, fn):
+            p0, p1, p2, l0, l1, l2 = carry
+            c = _scalar_sphere(geom_ref, k)
+            sol, disc, _, b, ct = fn(f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway)
+            sd = _sig(f.sharp_s * disc)
+            ss = _sig(f.sharp_s * sol)
+            occl = sd * ss
+            is_self = f.idx == k
+            fac = jnp.where(is_self, jnp.ones_like(occl), 1.0 - occl)
+            g_fac = g_clear * f.clear / jnp.maximum(fac, _EPS_DEN)
+            g_occl = jnp.where(is_self, 0.0, -g_fac)
+            g_disc_j = g_occl * ss * sd * (1.0 - sd) * f.sharp_s
+            g_sol_j = g_occl * sd * ss * (1.0 - ss) * f.sharp_s
+            g_b, g_ct = _sol_disc_adjoint(b, ct, g_sol_j, g_disc_j)
+            oc = tuple(f.p_n[i] - c[i] for i in range(3))
+            p0 = p0 + 2.0 * f.L[0] * g_b + 2.0 * oc[0] * g_ct
+            p1 = p1 + 2.0 * f.L[1] * g_b + 2.0 * oc[1] * g_ct
+            p2 = p2 + 2.0 * f.L[2] * g_b + 2.0 * oc[2] * g_ct
+            l0 = l0 + 2.0 * oc[0] * g_b
+            l1 = l1 + 2.0 * oc[1] * g_b
+            l2 = l2 + 2.0 * oc[2] * g_b
+            row = jnp.concatenate(
+                [
+                    jnp.sum(-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct, axis=(0, 1), keepdims=True)
+                    for i in range(3)
+                ]
+                + [jnp.sum(-2.0 * c[3] * g_ct, axis=(0, 1), keepdims=True)],
+                axis=1,
+            )  # (1, 4)
+            ggeom_ref[pl.ds(k, 1), :] += row
+            return p0, p1, p2, l0, l1, l2
+
+        zero = jnp.zeros_like(g_clear)
+        carry = (zero, zero, zero, zero, zero, zero)
+        carry = jax.lax.fori_loop(
+            0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry
         )
-        sd = _sig(f.sharp_s * disc)
-        ss = _sig(f.sharp_s * sol)
-        occl = sd * ss
-        is_self = f.idx == k
-        fac = jnp.where(is_self, jnp.ones_like(occl), 1.0 - occl)
-        g_fac = g_clear * f.clear / jnp.maximum(fac, _EPS_DEN)
-        g_occl = jnp.where(is_self, 0.0, -g_fac)
-        g_disc_j = g_occl * ss * sd * (1.0 - sd) * f.sharp_s
-        g_sol_j = g_occl * sd * ss * (1.0 - ss) * f.sharp_s
-        g_b, g_ct = _sol_disc_adjoint(b, ct, g_sol_j, g_disc_j)
-        oc = tuple(f.p_n[i] - c[i] for i in range(3))
+        out = jax.lax.fori_loop(
+            s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry
+        )
+        g_pn_s = [out[0], out[1], out[2]]
         for i in range(3):
-            g_pn_s[i] = g_pn_s[i] + 2.0 * f.L[i] * g_b + 2.0 * oc[i] * g_ct
-            g_L_acc[i] = g_L_acc[i] + 2.0 * oc[i] * g_b
-            ggeom_ref[k, i] = ggeom_ref[k, i] + jnp.sum(-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct)
-        ggeom_ref[k, 3] = ggeom_ref[k, 3] + jnp.sum(-2.0 * c[3] * g_ct)
+            g_L_acc[i] = g_L_acc[i] + out[3 + i]
+    else:
+        for k in range(s_total):
+            c = _scalar_sphere(geom_ref, k)
+            sol, disc, _, b, ct = _sphere_fn(k, s_cheap)(
+                f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway
+            )
+            sd = _sig(f.sharp_s * disc)
+            ss = _sig(f.sharp_s * sol)
+            occl = sd * ss
+            is_self = f.idx == k
+            fac = jnp.where(is_self, jnp.ones_like(occl), 1.0 - occl)
+            g_fac = g_clear * f.clear / jnp.maximum(fac, _EPS_DEN)
+            g_occl = jnp.where(is_self, 0.0, -g_fac)
+            g_disc_j = g_occl * ss * sd * (1.0 - sd) * f.sharp_s
+            g_sol_j = g_occl * sd * ss * (1.0 - ss) * f.sharp_s
+            g_b, g_ct = _sol_disc_adjoint(b, ct, g_sol_j, g_disc_j)
+            oc = tuple(f.p_n[i] - c[i] for i in range(3))
+            for i in range(3):
+                g_pn_s[i] = g_pn_s[i] + 2.0 * f.L[i] * g_b + 2.0 * oc[i] * g_ct
+                g_L_acc[i] = g_L_acc[i] + 2.0 * oc[i] * g_b
+                ggeom_ref[k, i] = ggeom_ref[k, i] + jnp.sum(-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct)
+            ggeom_ref[k, 3] = ggeom_ref[k, 3] + jnp.sum(-2.0 * c[3] * g_ct)
 
     # --- Phase D: p_n, L, V unit-vector transposes ---------------------
     g_pn = [g_o_out[i] + g_pn_s[i] for i in range(3)]
@@ -681,10 +828,32 @@ def _bwd_kernel_sub(
         _TFT: g_tft,
         _TFI: g_tfi,
     }
-    for k in range(s_total):
-        sel = (f.idx == k).astype(dtype)
+    if blocked:
+        # One-hot MXU matmul per sublane row into the (C, S_pad) gradient
+        # of the table transpose — the lane kernel's Phase F, applied per
+        # sublane (the (8, B) tile can't reshape to one (1, 8B) row).
+        zero_row = jnp.zeros_like(g_clear)
+        cols_all = [zero_row] * _COLS
         for col, val in rows.items():
-            gmat_ref[k, col] = gmat_ref[k, col] + jnp.sum(sel * val)
+            cols_all[col] = val
+        s_pad = gmat_ref.shape[1]
+        for r in range(_SUBLANES):
+            rows_r = jnp.concatenate([v[r : r + 1, :] for v in cols_all], axis=0)  # (C, B)
+            onehot_r = (
+                jax.lax.broadcasted_iota(jnp.int32, (s_pad, rows_r.shape[1]), 0)
+                == f.idx[r : r + 1, :]
+            ).astype(dtype)  # (S_pad, B)
+            gmat_ref[:, :] += jax.lax.dot_general(
+                rows_r, onehot_r,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact one-hot product
+            )  # (C, S_pad)
+    else:
+        for k in range(s_total):
+            sel = (f.idx == k).astype(dtype)
+            for col, val in rows.items():
+                gmat_ref[k, col] = gmat_ref[k, col] + jnp.sum(sel * val)
 
     # --- Phase G: consts grads -----------------------------------------
     const_vals = (
@@ -723,6 +892,11 @@ def _smem_acc_spec(shape):
     return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
 
 
+def _vmem_acc_spec(shape):
+    """Whole-array VMEM output revisited (accumulated) by every grid step."""
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+
 def _sds(shape, dtype, vma):
     if vma is None:
         return jax.ShapeDtypeStruct(shape, dtype)
@@ -730,11 +904,14 @@ def _sds(shape, dtype, vma):
 
 
 def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, block_rays, interpret, vma) = params
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
     lane, vec, smem = _specs_sub(block_rays)
+    # Blocked mode: mat is the (C, S_pad) table transpose in VMEM (lane
+    # gathers need vector memory); unrolled mode reads (S, C) SMEM scalars.
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
     kernel = functools.partial(
-        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch)
+        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
     )
     dtype = d3.dtype
     b_cols = block_rays // _SUBLANES
@@ -753,7 +930,7 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
     return pl.pallas_call(
         kernel,
         grid=(m_cols // (block_rays // _SUBLANES),),
-        in_specs=[vec, vec, lane, lane, vec, smem, smem, smem] + xi_spec,
+        in_specs=[vec, vec, lane, lane, vec, smem, mat_spec, smem] + xi_spec,
         out_specs=(vec, vec, lane, lane, vec, lane, lane, lane) + tex_specs,
         out_shape=(
             _sds((3, _SUBLANES, m_cols), dtype, vma),
@@ -771,11 +948,16 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
 
 
 def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None, xi3=None):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, block_rays, interpret, vma) = params
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
     lane, vec, smem = _specs_sub(block_rays)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
+    # Blocked mode accumulates the geometry/material-table gradients in
+    # VMEM (dynamic row writes + one-hot matmuls); unrolled uses SMEM.
+    geom_acc = _vmem_acc_spec(geom.shape) if blocked else _smem_acc_spec(geom.shape)
+    mat_acc = _vmem_acc_spec(mat.shape) if blocked else _smem_acc_spec(mat.shape)
     kernel = functools.partial(
-        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch)
+        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
     )
     dtype = d3.dtype
     b_cols = block_rays // _SUBLANES
@@ -791,7 +973,7 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
         grid=(m_cols // (block_rays // _SUBLANES),),
         in_specs=[
             vec, vec, lane, lane, lane, lane, lane,  # saved (+idx, hit, clear)
-            smem, smem, smem,  # tables
+            smem, mat_spec, smem,  # tables
         ]
         + xi_spec
         + [
@@ -800,8 +982,8 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
         + ([lane] if tex_hw is not None else []),
         out_specs=(
             vec, vec, lane, lane,
-            _smem_acc_spec(geom.shape),
-            _smem_acc_spec(mat.shape),
+            geom_acc,
+            mat_acc,
             _smem_acc_spec(consts.shape),
         ),
         out_shape=(
@@ -908,6 +1090,10 @@ def trace_fused_smooth_sub(
     if block % _SUBLANES:
         raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
     o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
+    if scene.spheres.count > MAX_SUB_SPHERES_SMOOTH:
+        # Blocked mode: raise the tile floor (see _BLK_MIN_BLOCK_RAYS),
+        # capped at the frame so small scenes don't pad 6x.
+        block = max(block, min(_BLK_MIN_BLOCK_RAYS, _round_up(n, _SUBLANES * 128)))
     n_pad = _round_up(d_t.shape[1], block)
     if n_pad != d_t.shape[1]:
         extra = n_pad - d_t.shape[1]
@@ -918,11 +1104,24 @@ def trace_fused_smooth_sub(
     o3 = o_t.reshape(3, _SUBLANES, m_cols)
     d3 = d_t.reshape(3, _SUBLANES, m_cols)
 
-    geom = _geometry_table(scene, dtype)
-    mat = _material_table(scene, dtype)[: scene.spheres.count]  # unpadded
-    consts = _consts_row(scene, dtype)
     s_total = scene.spheres.count
     s_cheap = s_total - scene.spheres.n_exact
+    blocked = s_total > MAX_SUB_SPHERES_SMOOTH
+    geom = _geometry_table(scene, dtype)
+    if blocked:
+        # (C, S_pad) table transpose for the in-kernel piecewise gathers;
+        # built with plain jnp so JAX transposes gradients back onto the
+        # scene arrays.  Pad rows can never win (idx < s_total always);
+        # radius 1 keeps any stray read finite.
+        tbl = _material_table(scene, dtype)  # padded to 8 rows
+        s_pad = _round_up(s_total, 128)
+        if tbl.shape[0] < s_pad:
+            pad = jnp.zeros((s_pad - tbl.shape[0], _COLS), dtype).at[:, _RAD].set(1.0)
+            tbl = jnp.concatenate([tbl, pad], axis=0)
+        mat = tbl[:s_pad].T  # (C, S_pad)
+    else:
+        mat = _material_table(scene, dtype)[:s_total]  # unpadded (S, C)
+    consts = _consts_row(scene, dtype)
 
     atlas = scene.texture_atlas
     textured = atlas.shape[1] > 1 or atlas.shape[2] > 1
@@ -933,7 +1132,7 @@ def trace_fused_smooth_sub(
     params = (
         cfg.faraway, s_cheap, s_total,
         float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
-        tex_hw, stochastic,
+        tex_hw, stochastic, blocked,
         block, cfg.pallas_interpret,
         frozenset(vma) if vma else None,
     )

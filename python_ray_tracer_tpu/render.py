@@ -351,6 +351,7 @@ def trace(
     sphere_axis: str | None = None,  # mesh axis the sweep is sharded over
     sphere_offset: jax.Array | int = 0,  # global index of sweep row 0
     ray_axis: str | None = None,  # mesh axis the ray lanes are sharded over
+    ray_offset: jax.Array | int = 0,  # global ray index of lane 0 (RNG parity)
     key: jax.Array | None = None,  # PRNG key for stochastic roughness
 ) -> jax.Array:
     """Trace N rays to ``cfg.max_depth`` bounces; returns (N, 3) color.
@@ -381,9 +382,9 @@ def trace(
     # no vma and the kernels are called without vma annotations.
     vma_dir = frozenset(getattr(jax.typeof(direction), "vma", frozenset()))
     interp_sharded = cfg.pallas_interpret and ray_axis is not None and ray_axis in vma_dir
-    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
+    from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH
 
-    smooth_tex_ok = atlas_dummy or scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
+    smooth_tex_ok = atlas_dummy or scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
     if smooth and cfg.use_pallas and sphere_axis is None and key is None and smooth_tex_ok and not interp_sharded:
         # Fully-fused fwd+bwd smooth bounce (custom VJP); works inside
         # shard_map via vma on the kernel outputs (or with the checker
@@ -562,7 +563,7 @@ def trace(
             from .ops.rng import uniform2
             from .ops.vecmath import ggx_perturb_reflect
 
-            xi = uniform2(k_bounce, n, dtype)
+            xi = uniform2(k_bounce, n, dtype, offset=ray_offset)
             d_next = ggx_perturb_reflect(d, normal, mat.specular_roughness, xi)
             return (o_next, d_next, throughput, alive, accum, k), None
         d_next = reflect(d, normal)  # shader.py:151
@@ -593,17 +594,19 @@ def trace(
 
 
 def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=False, key=None):
-    """Dispatch between the two fused smooth implementations.
+    """Dispatch between the fused smooth implementations.
 
-    Small sphere tables take the sublane-packed kernels (full-width VPU
-    tiles, ~3x the lane kernels — see docs/PERF.md round-2 ledger); bigger
-    tables take the blocked lane kernels whose sweeps amortize over
-    (K, B) tiles.  Stochastic roughness (``key``) is supported only by the
-    sublane pair (callers gate on MAX_SUB_SPHERES_SMOOTH).
+    Sphere tables up to MAX_BLK_SPHERES_SMOOTH take the sublane-packed
+    kernels (full-width VPU tiles; unrolled sphere loops for tiny tables,
+    fori_loop blocked mode past MAX_SUB_SPHERES_SMOOTH — see
+    docs/PERF.md).  Bigger tables fall back to the blocked lane kernels
+    whose sweeps amortize over (K, B) tiles.  Stochastic roughness
+    (``key``) is supported only by the sublane pair (callers gate on
+    MAX_BLK_SPHERES_SMOOTH).
     """
-    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH, trace_fused_smooth_sub
+    from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH, trace_fused_smooth_sub
 
-    if scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH:
+    if scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH:
         return trace_fused_smooth_sub(
             origin, direction, scene, cfg, vma=vma, transposed=transposed, key=key
         )
@@ -622,9 +625,9 @@ def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
     atlas = scene.texture_atlas
     atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
     if cfg.visibility == VISIBILITY_SMOOTH:
-        from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
+        from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH
 
-        tex_ok = atlas_dummy or scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
+        tex_ok = atlas_dummy or scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
     else:
         from .ops.pallas_bounce import MAX_FUSED_TEXELS
         from .ops.pallas_bounce_sub import MAX_SUB_SPHERES
@@ -656,9 +659,9 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     # The sublane kernels cover stochastic glossy bounces in BOTH modes
     # (hard forward-only; smooth fwd+bwd with the perturbation adjoint),
     # xi fed from the host PRNG; bigger tables with a key fall back.
-    from .ops.pallas_bounce_smooth_sub import MAX_SUB_SPHERES_SMOOTH
+    from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH
 
-    smooth_sub_ok = scene.spheres.count <= MAX_SUB_SPHERES_SMOOTH
+    smooth_sub_ok = scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
     key_ok = key is None or (
         (sub_ok and cfg.visibility != VISIBILITY_SMOOTH)
         or (smooth_sub_ok and cfg.visibility == VISIBILITY_SMOOTH)

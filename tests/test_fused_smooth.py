@@ -64,6 +64,49 @@ def test_gradient_parity(scene_fn, wh):
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
+@pytest.mark.parametrize("n_spheres,wh", [(64, (48, 27)), (256, (32, 18))])
+def test_gradient_parity_blocked(n_spheres, wh):
+    """BLOCKED sublane mode (S > MAX_SUB_SPHERES_SMOOTH: fori_loop sweeps,
+    piecewise material gather, one-hot gradient scatter) == jax.grad of
+    the XLA smooth path, for every scene-parameter leaf (VERDICT r2
+    item 1: differentiable rendering past the 16-sphere unroll cap)."""
+    scene = inverse_task_scene(n_spheres=n_spheres, width=wh[0], height=wh[1])
+    cfg_x, cfg_p = _cfgs()
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
+def test_stochastic_blocked_parity():
+    """Stochastic glossy roughness through the BLOCKED sublane kernels
+    (64 spheres — past the unroll cap) == the XLA stochastic smooth path
+    for the same seed, forward and gradient."""
+    scene = inverse_task_scene(n_spheres=64, width=48, height=27)
+    base = dict(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                edge_sharpness=20.0, shadow_sharpness=20.0,
+                stochastic_roughness=True, rng_seed=5)
+    cfg_x = RenderConfig(**base)
+    cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    diff = np.abs(b - a)
+    assert np.quantile(diff, 0.999) < 2e-4
+    assert (diff > 1e-2).mean() < 1e-3
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        ga, gb = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(ga).max(), 1e-6)
+        np.testing.assert_allclose(gb, ga, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
 def _atlas_scene(tmp_path, w=64, h=36):
     import json
 
@@ -114,6 +157,52 @@ def test_gradient_parity_image_atlas(tmp_path):
         a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
+def _atlas_many_scene(n_spheres=24, w=48, h=27):
+    """>16 image-textured spheres: exercises atlas lanes in BLOCKED mode."""
+    from python_ray_tracer_tpu.scene import (
+        TEXTURE_IMAGE, build_lights, build_spheres, make_scene, make_sphere_row,
+    )
+
+    rng = np.random.default_rng(11)
+    atlas = rng.uniform(0.1, 1.0, (2, 16, 32, 3)).astype(np.float32)
+    rows = []
+    for i in range(n_spheres):
+        center = rng.uniform([-3.0, -0.2, 1.0], [3.0, 2.0, 8.0])
+        kw = dict(
+            specular_gain=float(rng.uniform(0.0, 0.5)),
+            specular_roughness=float(rng.uniform(0.1, 0.6)),
+            diffuse_gain=float(rng.uniform(0.5, 1.0)),
+            diffuse_color=rng.uniform(0.1, 1.0, 3),
+        )
+        if i % 3 == 0:
+            kw.update(texture_kind=TEXTURE_IMAGE, texture_id=i % 2)
+        rows.append(make_sphere_row(center, float(rng.uniform(0.15, 0.45)), **kw))
+    spheres = build_spheres(rows, dtype=jnp.float32)
+    lights = build_lights((-4.0, 6.0, -1.0), domes=[(0.1, (1.0, 1.0, 1.0))], dtype=jnp.float32)
+    return make_scene(spheres, lights, (0.0, 0.6, -3.0), w, h, texture_atlas=atlas, dtype=jnp.float32)
+
+
+def test_image_atlas_blocked_parity():
+    """Image textures through the BLOCKED sublane path (in-kernel UV on
+    gathered native extents + external texel gather) == the XLA smooth
+    sampler, forward and gradient."""
+    scene = _atlas_many_scene()
+    cfg_x, cfg_p = _cfgs()
+    a = np.asarray(render(scene, cfg_x))
+    b = np.asarray(render(scene, cfg_p))
+    diff = np.abs(b - a)
+    assert np.quantile(diff, 0.999) < 1e-3
+    assert (diff > 1e-2).mean() < 1e-3
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        ga, gb = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(ga).max(), 1e-6)
+        np.testing.assert_allclose(gb, ga, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
 def test_training_descends_through_fused_kernels():
