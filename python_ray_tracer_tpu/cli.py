@@ -52,6 +52,21 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument("--spp", type=int, default=1, help="samples per pixel (jittered supersampling)")
     p.add_argument("--stochastic-roughness", action="store_true", help="sample glossy GGX reflections")
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for sampling")
+    p.add_argument(
+        "--ray-shards", type=int, default=0,
+        help="shard the ray axis over this many devices (0 = single-device "
+        "path; with --distributed, defaults to every chip of every host)",
+    )
+    p.add_argument(
+        "--sphere-shards", type=int, default=1,
+        help="additionally shard the sphere sweep over this many devices "
+        "(context-parallel analog; total devices = ray x sphere shards)",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="initialize the multi-host runtime (jax.distributed) before "
+        "building the mesh; PNG writes happen on process 0 only",
+    )
 
 
 def _build(args) -> tuple:
@@ -102,22 +117,55 @@ def _build(args) -> tuple:
     return scene, cfg, extras
 
 
+def _maybe_mesh(args):
+    """Build the (rays, spheres) mesh the CLI flags ask for, or None.
+
+    ``--distributed`` additionally brings up the multi-host runtime first
+    (SURVEY §5.8); the mesh then spans every chip of every host.
+    """
+    ray_shards = getattr(args, "ray_shards", 0)
+    sphere_shards = getattr(args, "sphere_shards", 1)
+    dist = getattr(args, "distributed", False)
+    if not dist and ray_shards == 0 and sphere_shards == 1:
+        return None
+    if dist:
+        from .parallel.distributed import initialize
+
+        initialize()
+    from .parallel import make_mesh
+
+    return make_mesh(ray_shards or None, sphere_shards)
+
+
 def cmd_render(args) -> int:
     from .render import render
     from .utils.image import save_png
     from .utils.metrics import MetricsLogger, profile_trace, rays_per_second
 
     scene, cfg, extras = _build(args)
+    mesh = _maybe_mesh(args)
     metrics = MetricsLogger(args.metrics)
-    fn = jax.jit(render, static_argnums=1)
+    if mesh is None:
+        fn = jax.jit(render, static_argnums=1)
+        run = lambda: fn(scene, cfg)  # noqa: E731
+    else:
+        from .parallel.sharded import render_sharded_jit
+
+        run = lambda: render_sharded_jit(scene, cfg, mesh)  # noqa: E731
 
     t0 = time.perf_counter()
-    img = jax.block_until_ready(fn(scene, cfg))
+    img = jax.block_until_ready(run())
     compile_s = time.perf_counter() - t0
     with profile_trace(args.profile):
         t0 = time.perf_counter()
-        img = jax.block_until_ready(fn(scene, cfg))
+        img = jax.block_until_ready(run())
         render_s = time.perf_counter() - t0
+    if mesh is not None:
+        from .parallel.distributed import gather_image
+
+        img = jnp.asarray(gather_image(img))
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return 0  # process 0 owns the PNG write
 
     # Settings-file keys apply when the CLI flag doesn't override them
     # (documented schema: output_path / denoise, io/scene_json.py).
@@ -163,6 +211,7 @@ def cmd_optimize(args) -> int:
     import optax
 
     scene, cfg, _extras = _build(args)
+    mesh = _maybe_mesh(args)
     target = jnp.asarray(np.asarray(load_png(args.target), np.float32) / 255.0, cfg.dtype)
     if target.shape[:2] != (scene.camera.height, scene.camera.width):
         print(  # noqa: T201
@@ -193,7 +242,7 @@ def cmd_optimize(args) -> int:
         state = load_checkpoint(args.checkpoint, state)
         print(f"resumed from {args.checkpoint} at step {int(state.step)}", file=sys.stderr)  # noqa: T201
 
-    step_fn = make_train_step(make_loss_fn(scene, target, cfg), optimizer)
+    step_fn = make_train_step(make_loss_fn(scene, target, cfg, mesh=mesh), optimizer)
     metrics = MetricsLogger(args.metrics)
     start = int(state.step)
     if start >= args.steps:

@@ -48,15 +48,20 @@ def fold_seed(seed: jax.Array, salt) -> jax.Array:
     return _mix(jnp.asarray(seed, jnp.uint32) + _GOLD * jnp.asarray(salt, jnp.uint32))
 
 
-def uniform01(seed: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
-    """(n,) floats in [0, 1): hash of (lane index, seed), 24-bit mantissa."""
-    idx = jax.lax.iota(jnp.uint32, n)
+def uniform01(seed: jax.Array, n: int, dtype=jnp.float32, offset=0) -> jax.Array:
+    """(n,) floats in [0, 1): hash of (lane index, seed), 24-bit mantissa.
+
+    ``offset`` shifts the lane indices — a ray shard passes its global
+    ray offset so the sharded draw matches the single-chip draw lane for
+    lane (bitwise replay across mesh shapes).
+    """
+    idx = jax.lax.iota(jnp.uint32, n) + jnp.asarray(offset, jnp.uint32)
     bits = _mix(idx + jnp.asarray(seed, jnp.uint32))
     return (bits >> jnp.uint32(8)).astype(dtype) * dtype(1.0 / (1 << 24))
 
 
-def uniform2(seed: jax.Array, n: int, dtype=jnp.float32) -> jax.Array:
+def uniform2(seed: jax.Array, n: int, dtype=jnp.float32, offset=0) -> jax.Array:
     """(n, 2) independent uniforms in [0, 1) — two salted streams."""
-    u1 = uniform01(fold_seed(seed, 1), n, dtype)
-    u2 = uniform01(fold_seed(seed, 2), n, dtype)
+    u1 = uniform01(fold_seed(seed, 1), n, dtype, offset)
+    u2 = uniform01(fold_seed(seed, 2), n, dtype, offset)
     return jnp.stack([u1, u2], axis=1)

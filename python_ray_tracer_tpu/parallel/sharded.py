@@ -84,15 +84,22 @@ def trace_sharded(
     scene: Scene,  # sphere count divisible by the sphere-shard count
     cfg: RenderConfig,
     mesh: Mesh,
+    key: jax.Array | None = None,  # PRNG seed -> stochastic glossy bounces
 ) -> jax.Array:
     """Trace rays across the mesh; returns (N, 3) colors.
 
     ``dirs`` is sharded over the ``rays`` axis; the sphere *geometry* is
     sharded over the ``spheres`` axis while the full scene (material table,
-    lights, camera) is replicated.
+    lights, camera) is replicated.  With ``key``, each shard draws its
+    stochastic GGX samples at its GLOBAL ray offsets (``ops/rng.py`` is a
+    pure hash of (seed, global lane index)), so the sharded render uses
+    the single-chip sample sequence for the same seed (images agree up
+    to fusion-order rounding on gate-flip lanes).
     """
     n_sphere_shards = mesh.shape[SPHERE_AXIS]
+    n_ray_shards = mesh.shape[RAY_AXIS]
     s_local = scene.spheres.count // n_sphere_shards
+    n_local = dirs.shape[0] // n_ray_shards
     # With a single sphere shard the geometry is replicated instead of
     # sharded: no collectives in the bounce loop, and — crucially — the
     # fused Pallas kernels can run inside the shard (pure tile parallelism,
@@ -111,6 +118,8 @@ def trace_sharded(
             sphere_axis=SPHERE_AXIS if sphere_sharded else None,
             sphere_offset=offset,
             ray_axis=RAY_AXIS,
+            ray_offset=jax.lax.axis_index(RAY_AXIS) * n_local,
+            key=key,
         )
 
     geom_spec = P(SPHERE_AXIS) if sphere_sharded else P()
@@ -132,6 +141,12 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
 
     Pads rays/spheres to shard multiples, shards, traces, unpads.  Pure
     function of the scene pytree — jit/grad it like the single-chip path.
+
+    ``cfg.samples_per_pixel > 1`` and ``cfg.stochastic_roughness`` compose
+    with sharding: the jitter is drawn at global scope with the EXACT seed
+    schedule of :func:`..render.render` (fold per sample, streams 3/4) and
+    sharded with the rays, so a sharded supersampled render uses the
+    single-chip sample sequence for the same ``cfg.rng_seed``.
     """
     n_ray_shards = mesh.shape[RAY_AXIS]
     n_sphere_shards = mesh.shape[SPHERE_AXIS]
@@ -139,13 +154,35 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> jax.Array:
     n = h * w
 
     scene = _with_padded_spheres(scene, n_sphere_shards)
-    dirs = ray_directions(scene.camera, cfg.dtype)
     n_pad = round_up(n, n_ray_shards)
-    if n_pad != n:
-        dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (n_pad - n, 3))], axis=0)
 
-    color = trace_sharded(dirs, scene, cfg, mesh)
-    return color[:n].reshape(h, w, 3)
+    def dirs_for(jitter: jax.Array | None) -> jax.Array:
+        dirs = ray_directions(scene.camera, cfg.dtype, jitter)
+        if n_pad != n:
+            dirs = jnp.concatenate([dirs, jnp.broadcast_to(dirs[:1], (n_pad - n, 3))], axis=0)
+        return dirs
+
+    spp = cfg.samples_per_pixel
+    if spp == 1 and not cfg.stochastic_roughness:
+        color = trace_sharded(dirs_for(None), scene, cfg, mesh)
+        return color[:n].reshape(h, w, 3)
+
+    from ..ops.rng import fold_seed, seed_root, uniform2
+
+    base = seed_root(cfg.rng_seed)
+
+    def sample(acc, i):
+        k = fold_seed(base, i)
+        k_jit, k_trace = fold_seed(k, 3), fold_seed(k, 4)
+        jitter = uniform2(k_jit, n, cfg.dtype) - 0.5 if spp > 1 else None
+        color = trace_sharded(
+            dirs_for(jitter), scene, cfg, mesh,
+            key=k_trace if cfg.stochastic_roughness else None,
+        )
+        return acc + color, None
+
+    acc, _ = jax.lax.scan(sample, jnp.zeros((n_pad, 3), cfg.dtype), jnp.arange(spp))
+    return (acc / spp)[:n].reshape(h, w, 3)
 
 
 def _with_padded_spheres(scene: Scene, multiple: int) -> Scene:

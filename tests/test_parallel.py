@@ -86,3 +86,36 @@ def test_nonmultiple_rays_padding():
     mesh = make_mesh(8, 1)
     got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg, mesh))
     np.testing.assert_allclose(got, expected, rtol=0, atol=1e-5)
+
+
+def test_supersampling_sharded_matches_single():
+    """spp > 1 composes with ray sharding: the jitter is drawn at global
+    scope with render()'s exact seed schedule, so the sharded supersampled
+    image matches the single-chip one (VERDICT r2 item 5)."""
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    cfg = RenderConfig(max_depth=2, dtype=jnp.float32, samples_per_pixel=3, rng_seed=11)
+    expected = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+    mesh = make_mesh(8, 1)
+    got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg, mesh))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-5)
+
+
+def test_stochastic_sharded_matches_single():
+    """Stochastic glossy roughness under sharding: each shard draws its
+    GGX samples at its GLOBAL ray offsets, so the sharded render uses the
+    same sample sequence as the single-chip one — including with sphere
+    sharding.  Isolated lanes may still flip the below-surface fallback
+    gate (shard_map changes XLA fusion, hence rounding), same tolerance
+    family as the other stochastic parity tests."""
+    scene = reference_scene(96, 54, dtype=jnp.float32)
+    cfg = RenderConfig(
+        max_depth=2, dtype=jnp.float32, stochastic_roughness=True,
+        samples_per_pixel=2, rng_seed=7,
+    )
+    expected = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(*shape)
+        got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg, mesh))
+        diff = np.abs(got - expected)
+        assert np.quantile(diff, 0.999) < 2e-4, shape
+        assert (diff > 1e-2).mean() < 1e-3, shape
