@@ -1,14 +1,18 @@
 """On-chip A/B of culled-path variants at config 4 (1024 sph, 1920x1080).
 
-Monkeypatches the module knobs that gate this round's two candidate
-changes and times full frames for each combination:
+Monkeypatches the module knobs and times full frames per combination.
+PRODUCTION (since the 2026-08-19 flip this harness measured) is
+``_SORT_G = 32`` + ``MAT_GATHER_MODE = "piecewise"`` — so the "base"
+variant below IS production, and the g64/xla variants reproduce the
+pre-flip round-2 configuration:
 
-  _SORT_G          64 (production) vs 32/16/8 — CPU quality probe says
-                   g8 cuts total sweep work 16% (benchmarks/
-                   colsort_stats.py); the finer interleaved gather costs
-                   what sortg_probe says.
-  MAT_GATHER_MODE  "xla" (production) vs "direct"/"piecewise" in-kernel
-                   gathers (benchmarks/gather_probe.py).
+  gN        — _SORT_G = N (re-sort granularity; 64 was the r2 default)
+  mat_M     — MAT_GATHER_MODE = M in {"xla", "direct", "piecewise"}
+  bound32   — _BOUND_G = 32 (re-swept after the flip: loser)
+  tile2048  — CULL_BLOCK_RAYS = 2048 (re-swept after the flip: loser)
+
+Variants combine as ``gN+mat_M`` etc.; see docs/PERF.md for the measured
+table.
 
     python benchmarks/culled_ab.py [--frames 10] [--depth 4]
 """

@@ -107,9 +107,14 @@ _SORT_G = 32
 
 # Bound-group granularity for the candidate masks: every consecutive
 # _BOUND_G-ray run gets its own conservative bounds (box + cone),
-# OR-ed into its tile's candidate list.  Decoupled from _SORT_G (any
-# consecutive _BOUND_G run stays consecutive under a coarser group
-# sort), though both sit at 64 today.
+# OR-ed into its tile's candidate list.  With _SORT_G=32 finer than
+# _BOUND_G=64, a bound group can MIX rays from two adjacent sort groups
+# — still conservative (bounds are recomputed from post-sort ray state
+# over whatever 64 rays land in the run), just potentially looser than
+# when the two granularities matched.  The g32 sort still measured
+# fastest end-to-end despite this (benchmarks/culled_ab.py, 2026-08-19:
+# g64 0.0925 / g32 0.0891 s per frame); bound32 was re-swept after the
+# flip and LOST (docs/PERF.md knob re-sweep), so 64 stays.
 _BOUND_G = 64
 
 # Ray-tile size for the culled kernels.  Smaller tiles bound tighter
@@ -312,8 +317,10 @@ def _group_cull_mask(
       purely algebraically (no transcendentals), with the wrap case
       ``theta + phi >= pi`` admitted unconditionally.
 
-    Bound groups are consecutive _BOUND_G-ray runs (whole groups under
-    the _SORT_G-granular sort, so sorting never splits one).
+    Bound groups are consecutive _BOUND_G-ray runs.  The _SORT_G=32 sort
+    is finer than _BOUND_G=64, so a run may mix rays from two sort
+    groups; the bounds stay conservative for any grouping because they
+    are recomputed from the post-sort ray state (see the _BOUND_G note).
     """
     dtype = o3.dtype
     sub, m = o3.shape[1], o3.shape[2]
