@@ -38,9 +38,11 @@ culling keeps paying at depth, while spent rays compact into tiles the
 energy cut skips outright.  A carried group id undoes the permutation
 at the end (block gather — cheap).
 
-Scope: hard visibility, const/checker textures, forward-only (config 4
-is a forward benchmark; training runs small scenes through the smooth
-kernels), exact tier small (swept unconditionally, unrolled).
+Scope: hard visibility, const/checker/image textures (image texel colors
+are gathered OUTSIDE the kernel from exported flat ids + dww weights —
+no atlas size cap), forward-only (config 4 is a forward benchmark;
+training runs through the smooth kernels), exact tier small (swept
+unconditionally, unrolled).
 """
 
 from __future__ import annotations
@@ -55,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene import Scene
 from .pallas_bounce import (
     _CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR,
-    _TFW, _TFT, _TFI, _KIND, _material_table,
+    _TFW, _TFT, _TFI, _KIND, _TID, _TEXH, _TEXW, _material_table,
+    _asin_poly, _atan2_poly,
 )
 from .pallas_bounce_sub import _SUBLANES, _consts_row, _geometry_table, _sphere_t, _sphere_t_exact
 from .pallas_intersect import _round_up
@@ -74,8 +77,12 @@ MAX_CULL_DEPTH = 4096
 
 # Material columns the shade kernel consumes (pre-gathered by winner
 # index in XLA glue).  Geometry columns are NOT here: hit point and
-# normal come out of the nearest kernel directly.
+# normal come out of the nearest kernel directly.  Atlas scenes add the
+# texture id + native extents (the in-kernel work is only the flat texel
+# index; the texel color is gathered OUTSIDE by XLA — no atlas size cap,
+# the same scheme as the sublane kernels).
 _MCOLS = (_DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
+_MCOLS_TEX = _MCOLS + (_TID, _TEXH, _TEXW)
 
 # How the shade kernel obtains the winner's material row:
 #   "xla"       — glue pre-gathers (12, 8, M) rows with one per-lane take
@@ -242,7 +249,12 @@ def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
     return jax.lax.fori_loop(groups * unroll, cnt, body_one, carry)
 
 
-_DEAD_KEY = jnp.uint32(1) << jnp.uint32(24)  # sorts all spent rays to the tail
+# Sorts all spent rays to the tail.  Plain Python int, NOT a jnp
+# constant: this module is imported lazily from inside jit traces
+# (render.py), and a module-level traced array would escape its trace
+# (observed UnexpectedTracerError when the first import happened under
+# jit).
+_DEAD_KEY = 1 << 24
 
 
 def ray_sort_keys(
@@ -288,7 +300,7 @@ def ray_sort_keys(
         | (dbin[1] << jnp.uint32(4))
         | dbin[2]
     )
-    return jnp.where(live, key, _DEAD_KEY | key)
+    return jnp.where(live, key, jnp.uint32(_DEAD_KEY) | key)
 
 
 def _group_cull_mask(
@@ -610,9 +622,15 @@ def _near_kernel_culled(
 def _shade_kernel_culled(
     o_ref, d_ref, thr_ref, alive_ref, acc_ref, t_ref, idx_ref, pn_ref, n_ref, tl_ref,
     matv_ref, candb_ref, cntb_ref, cntbf_ref, geom_ref, const_ref,
-    o_out, d_out, thr_out, alive_out, acc_out,
-    *, faraway: float, s_cheap: int, s_total: int, mat_mode: str = "xla",
+    *outs,
+    faraway: float, s_cheap: int, s_total: int, mat_mode: str = "xla",
+    tex_hw: tuple | None = None,
 ):
+    mcols = _MCOLS_TEX if tex_hw is not None else _MCOLS
+    if tex_hw is not None:
+        o_out, d_out, thr_out, alive_out, acc_out, flat_out, dww_out = outs
+    else:
+        o_out, d_out, thr_out, alive_out, acc_out = outs
     dtype = o_ref.dtype
     o = (o_ref[0], o_ref[1], o_ref[2])
     d = (d_ref[0], d_ref[1], d_ref[2])
@@ -640,12 +658,12 @@ def _shade_kernel_culled(
     # per channel instead of O(candidates).
     if mat_mode == "xla":
         def m(col):
-            return matv_ref[_MCOLS.index(col)]
+            return matv_ref[mcols.index(col)]
     else:
         s_pad = matv_ref.shape[1]
         b = idx.shape[1]
         gathered = []
-        for c in range(len(_MCOLS)):
+        for c in range(len(mcols)):
             row = matv_ref[c, :]  # (s_pad,)
             if mat_mode == "direct":
                 rb = jax.lax.broadcast_in_dim(row, (idx.shape[0], s_pad), (1,))
@@ -666,7 +684,7 @@ def _shade_kernel_culled(
                 gathered.append(acc_g)
 
         def m(col):
-            return gathered[_MCOLS.index(col)]
+            return gathered[mcols.index(col)]
 
     p = tuple(o[i_] + d[i_] * t_safe for i_ in range(3))  # shader.py:73
 
@@ -740,8 +758,29 @@ def _shade_kernel_culled(
     checker = (cx_i == cz_i).astype(dtype)
     is_checker = m(_KIND) == 1.0
     tex = tuple(jnp.where(is_checker, checker, m(c)) for c in (_DCR, _DCG, _DCB))
+    if tex_hw is not None:
+        # Equirectangular image texture (ref shape.py:68-81): the kernel
+        # computes ONLY the flat texel index (polynomial atan2/asin over
+        # the winner's native extents); the texel color is gathered
+        # OUTSIDE by XLA and composed with the exported dww weight — the
+        # sublane kernels' scheme, so any atlas size fits.
+        th_pad, tw_pad = tex_hw
+        is_image = m(_KIND) == 2.0
+        u = 0.5 + _atan2_poly(normal[2], normal[0]) / (2.0 * jnp.pi)
+        v = 0.5 - _asin_poly(normal[1]) / jnp.pi
+        u = u - jnp.floor(u)
+        v = v - jnp.floor(v)
+        th_l = m(_TEXH)
+        tw_l = m(_TEXW)
+        ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, (tw_l - 1.0).astype(jnp.int32))
+        tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, (th_l - 1.0).astype(jnp.int32))
+        flat = m(_TID).astype(jnp.int32) * (th_pad * tw_pad) + tj * tw_pad + ti
+        flat_out[:, :] = jnp.where(is_image, flat, 0)
+        tex = tuple(jnp.where(is_image, jnp.zeros_like(t), t) for t in tex)
 
     diffuse_w = n_dot_l * in_light * m(_DG)
+    if tex_hw is not None:
+        dww_out[:, :] = jnp.where(is_image, diffuse_w * thr * coverage, jnp.zeros(shape, dtype))
 
     dome_up = jnp.maximum(normal[1], 0.0) * const(9)
     dome = (const(6) * dome_up, const(7) * dome_up, const(8) * dome_up)
@@ -840,15 +879,21 @@ def trace_fused_culled(
     o3 = pack_tiles(o_t, b_cols)
     d3 = pack_tiles(d_t, b_cols)
 
+    atlas = scene.texture_atlas
+    textured = atlas.shape[1] > 1 or atlas.shape[2] > 1
+    tex_hw = (int(atlas.shape[1]), int(atlas.shape[2])) if textured else None
+    texels = jnp.asarray(atlas, dtype).reshape(-1, 3) if textured else None
+    mcols = _MCOLS_TEX if textured else _MCOLS
+
     geom = _geometry_table(scene, dtype)
     geom_t = geom.T  # (4, S) — SMEM-friendly (rows pad to 512 B each)
     mat = _material_table(scene, dtype)[: scene.spheres.count]
-    mat16 = jnp.stack([mat[:, c] for c in _MCOLS], axis=1)  # (S, 12) kernel order
+    mat16 = jnp.stack([mat[:, c] for c in mcols], axis=1)  # (S, C) kernel order
     if MAT_GATHER_MODE != "xla":
-        # in-kernel gather reads a (12, S_pad) table (lane-padded to the
+        # in-kernel gather reads a (C, S_pad) table (lane-padded to the
         # vreg width; winner idx < S so the pad is never addressed)
         s_pad128 = _round_up(scene.spheres.count, 128)
-        mat16 = jnp.zeros((len(_MCOLS), s_pad128), dtype).at[:, : scene.spheres.count].set(mat16.T)
+        mat16 = jnp.zeros((len(mcols), s_pad128), dtype).at[:, : scene.spheres.count].set(mat16.T)
     consts = _consts_row(scene, dtype)
     light = jnp.asarray(scene.lights.point_position, dtype)
     s_total = scene.spheres.count
@@ -859,7 +904,7 @@ def trace_fused_culled(
     vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     if MAT_GATHER_MODE == "xla":
         vec16 = pl.BlockSpec(
-            (len(_MCOLS), _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            (len(mcols), _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
     else:
         vec16 = pl.BlockSpec(mat16.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -887,24 +932,31 @@ def trace_fused_culled(
         ),
         interpret=cfg.pallas_interpret,
     )
+    tex_specs = (lane, lane) if textured else ()
+    tex_shapes = (
+        (_sds((_SUBLANES, m_cols), jnp.int32), _sds((_SUBLANES, m_cols), dtype))
+        if textured
+        else ()
+    )
     shade_call = pl.pallas_call(
         functools.partial(
             _shade_kernel_culled, faraway=cfg.faraway, s_cheap=s_cheap,
-            s_total=s_total, mat_mode=MAT_GATHER_MODE,
+            s_total=s_total, mat_mode=MAT_GATHER_MODE, tex_hw=tex_hw,
         ),
         grid=(n_tiles,),
         in_specs=[
             vec, vec, lane, lane, vec, lane, lane, vec, vec, vec,
             vec16, cand_spec, smem, smem, smem, smem,
         ],
-        out_specs=(vec, vec, lane, lane, vec),
+        out_specs=(vec, vec, lane, lane, vec) + tex_specs,
         out_shape=(
             _sds((3, _SUBLANES, m_cols), dtype),
             _sds((3, _SUBLANES, m_cols), dtype),
             _sds((_SUBLANES, m_cols), dtype),
             _sds((_SUBLANES, m_cols), dtype),
             _sds((3, _SUBLANES, m_cols), dtype),
-        ),
+        )
+        + tex_shapes,
         interpret=cfg.pallas_interpret,
     )
 
@@ -1028,6 +1080,12 @@ def trace_fused_culled(
             o3, d3, thr, alive, acc, tmin, idx, p_n, normal, to_light,
             matv, cand_b[:, None, :], cnt_b, cnt_bf, geom_t, consts,
         )
+        if textured:
+            # Image-diffuse term composed OUTSIDE the kernel: nearest-texel
+            # gather on the exported flat ids times the dww weight.
+            *core, flat, dww = out
+            tex_c = jnp.moveaxis(jnp.take(texels, flat, axis=0), -1, 0)  # (3, 8, M)
+            out = tuple(core[:4]) + (core[4] + tex_c * dww[None],)
         return out + (pix,), None
 
     init = (

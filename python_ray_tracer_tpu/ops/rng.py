@@ -21,17 +21,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_M1 = jnp.uint32(0x21F0AAAD)  # lowbias32 multipliers (Wellons' search)
-_M2 = jnp.uint32(0x735A2D97)
-_GOLD = jnp.uint32(0x9E3779B9)  # Weyl increment for seed folding
+# Plain Python ints, NOT jnp constants: this module is imported lazily
+# from inside jit traces (render.py), and module-level traced arrays
+# would escape their trace (UnexpectedTracerError).
+_M1 = 0x21F0AAAD  # lowbias32 multipliers (Wellons' search)
+_M2 = 0x735A2D97
+_GOLD = 0x9E3779B9  # Weyl increment for seed folding
 
 
 def _mix(x: jax.Array) -> jax.Array:
     """lowbias32: a well-mixed u32 -> u32 finalizer (vector ops only)."""
     x = x ^ (x >> 16)
-    x = x * _M1
+    x = x * jnp.uint32(_M1)
     x = x ^ (x >> 15)
-    x = x * _M2
+    x = x * jnp.uint32(_M2)
     x = x ^ (x >> 15)
     return x
 
@@ -45,7 +48,7 @@ def fold_seed(seed: jax.Array, salt) -> jax.Array:
     """Derive a child seed — the stateless analog of ``jax.random.fold_in``
     / ``split``.  ``salt`` may be a Python int, a traced scalar, or an
     array (vectorized derivation, e.g. per ray-chunk seeds)."""
-    return _mix(jnp.asarray(seed, jnp.uint32) + _GOLD * jnp.asarray(salt, jnp.uint32))
+    return _mix(jnp.asarray(seed, jnp.uint32) + jnp.uint32(_GOLD) * jnp.asarray(salt, jnp.uint32))
 
 
 def uniform01(seed: jax.Array, n: int, dtype=jnp.float32, offset=0) -> jax.Array:

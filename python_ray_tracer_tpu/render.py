@@ -395,7 +395,7 @@ def trace(
     # sharding the in-kernel reductions finish with the collective combines
     # below (VERDICT r1 item 4).
     fused = cfg.use_pallas and not smooth and cfg.tie_mode == "first"
-    if fused and sphere_axis is None and key is None and atlas_dummy and not cfg.ray_chunk:
+    if fused and sphere_axis is None and key is None and not cfg.ray_chunk:
         # Ray-sharded (or direct-API) big scenes take the tile-culled
         # kernels — 3x the blocked sweep at config 4 (docs/PERF.md) and
         # entirely shard-local (candidate masks, group sort, kernels).
@@ -631,10 +631,20 @@ def _can_fuse_bounce(scene: Scene, cfg: RenderConfig) -> bool:
     else:
         from .ops.pallas_bounce import MAX_FUSED_TEXELS
         from .ops.pallas_bounce_sub import MAX_SUB_SPHERES
+        from .ops.pallas_culled import MAX_CULL_DEPTH, MAX_CULL_EXACT, MIN_CULL_SPHERES
 
+        # Culled-eligible scenes sample atlases via the external texel
+        # gather — no size cap (mirror _render_sample's routing so a big
+        # textured scene never falls through to the capped lane kernel).
+        culled_ok = (
+            scene.spheres.count >= MIN_CULL_SPHERES
+            and scene.spheres.n_exact <= MAX_CULL_EXACT
+            and cfg.max_depth <= MAX_CULL_DEPTH
+        )
         tex_ok = (
             atlas_dummy
             or scene.spheres.count <= MAX_SUB_SPHERES  # sub kernel: no texel cap
+            or culled_ok
             or atlas.shape[0] * atlas.shape[1] * atlas.shape[2] <= MAX_FUSED_TEXELS
         )
         if cfg.tie_mode != "first":
@@ -682,7 +692,6 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
         s = scene.spheres.count
         if (
             key is None
-            and atlas_dummy
             and s >= MIN_CULL_SPHERES
             and scene.spheres.n_exact <= MAX_CULL_EXACT
             and cfg.max_depth <= MAX_CULL_DEPTH
@@ -690,7 +699,8 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
             # Big scene: per-tile candidate-list culling (O(candidates)
             # per ray).  Reflected bounces re-sort rays by (origin cell,
             # direction bin) so the culling keeps working at depth and
-            # dead rays compact into skipped tiles (docs/PERF.md).
+            # dead rays compact into skipped tiles (docs/PERF.md).  Image
+            # atlases ride the external texel gather — no size cap.
             return trace_fused_culled(scene.camera.position, dirs_t, scene, cfg, transposed=True)
         if sub_ok:
             return trace_fused_sub(scene.camera.position, dirs_t, scene, cfg, transposed=True, key=key)
