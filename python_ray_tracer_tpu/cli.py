@@ -43,7 +43,12 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
         help="max reflection depth, or 'auto' to bound it by the scene's "
         "reflection energy decay (matches unbounded recursion below uint8 precision)",
     )
-    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "float64", "bfloat16"])
+    # bfloat16 was removed as a compute dtype: measured on-chip, it moves
+    # 76% of the golden image's uint8 values (max diff 241/255) — the
+    # ray-sphere quadratic cancels catastrophically at 8 mantissa bits
+    # (docs/PERF.md "bfloat16" section).  bf16 remains an MXU accumulation
+    # detail inside kernels, not a user-facing precision.
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "float64"])
     p.add_argument("--visibility", type=str, default="hard", choices=["hard", "smooth"])
     p.add_argument("--pallas", action="store_true", help="use the fused Pallas kernels")
     p.add_argument("--metrics", type=str, help="JSONL metrics output path")
@@ -73,7 +78,7 @@ def _build(args) -> tuple:
     from .config import RenderConfig
     from .models import scenes as builtin
 
-    dtype = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}[args.dtype]
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[args.dtype]
     extras = {}
     depth_auto = str(args.depth) == "auto"
     if args.settings:

@@ -15,13 +15,16 @@ from typing import Any
 import jax.numpy as jnp
 
 # Sentinel distance for "ray missed" (reference FARAWAY = 1e39,
-# base.py:12 / shader.py:10).  1e39 only fits in float64; for float32 /
-# bfloat16 we use a large finite value so masked-lane arithmetic never
-# produces inf/nan.
+# base.py:12 / shader.py:10).  1e39 only fits in float64; for float32 we
+# use a large finite value so masked-lane arithmetic never produces
+# inf/nan.  bfloat16 is deliberately NOT offered as a compute dtype:
+# measured on-chip it corrupts 76% of the golden image's uint8 values
+# (max diff 241/255; the intersection quadratic cancels at 8 mantissa
+# bits) — see docs/PERF.md.  bf16 appears only as an internal MXU detail
+# inside kernels.
 _FARAWAY = {
     jnp.dtype(jnp.float64): 1.0e39,
     jnp.dtype(jnp.float32): 1.0e30,
-    jnp.dtype(jnp.bfloat16): 1.0e30,
 }
 
 VISIBILITY_HARD = "hard"

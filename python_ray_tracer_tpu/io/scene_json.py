@@ -48,7 +48,7 @@ from ..scene import (
     make_sphere_row,
 )
 
-_DTYPES = {"float32": jnp.float32, "float64": jnp.float64, "bfloat16": jnp.bfloat16}
+_DTYPES = {"float32": jnp.float32, "float64": jnp.float64}  # bf16: see docs/PERF.md
 
 
 def load_scene(path: str | Path, *, width: int = 960, height: int = 540, dtype: Any = jnp.float32) -> Scene:
