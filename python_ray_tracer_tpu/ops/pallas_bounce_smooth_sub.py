@@ -1101,7 +1101,17 @@ def trace_fused_smooth_sub(
         d_t = jnp.concatenate([d_t, jnp.broadcast_to(d_t[:, :1], (3, extra))], axis=1)
     m_cols = n_pad // _SUBLANES
 
-    o3 = o_t.reshape(3, _SUBLANES, m_cols)
+    o_arr = jnp.asarray(origin, dtype)
+    if o_arr.size == 3:
+        # Uniform origin (the camera): broadcast straight to tile shape.
+        # Going through the (3, N) intermediate makes the origin-cotangent
+        # reduce a (3, N)-major-axis reduction that XLA lays out 3-minor —
+        # a 12 MB relayout copy + a 0.35 ms reduce per training step
+        # (device trace 2026-08-19).  Broadcasting (3,1,1) -> (3,8,M)
+        # transposes to a minor-axes reduce instead.
+        o3 = jnp.broadcast_to(o_arr.reshape(3, 1, 1), (3, _SUBLANES, m_cols))
+    else:
+        o3 = o_t.reshape(3, _SUBLANES, m_cols)
     d3 = d_t.reshape(3, _SUBLANES, m_cols)
 
     s_total = scene.spheres.count
