@@ -105,8 +105,8 @@ def main() -> None:
             pass
         elif v == "bound32":
             pc._BOUND_G = 32
-        elif v == "tile2048":
-            pc.CULL_BLOCK_RAYS = 2048
+        elif v.startswith("tile"):
+            pc.CULL_BLOCK_RAYS = int(v[4:])
         elif v == "g8+tile2048":
             pc._SORT_G = 8
             pc.CULL_BLOCK_RAYS = 2048
