@@ -48,9 +48,18 @@ def nl_means_denoise(
     acc = jnp.zeros_like(image)
     wsum = jnp.zeros(image.shape[:2], image.dtype)
 
+    # Reflect at the borders like the reference's cv2 denoiser (OpenCV
+    # border default), NOT wraparound: a ``jnp.roll`` search window would
+    # bleed opposite-edge pixels into a frame border (VERDICT r2 missing
+    # item 2).  One reflect pad, then static slices per search offset.
+    r = search_radius
+    hh, ww = image.shape[:2]
+    padded = jnp.pad(image, ((r, r), (r, r), (0, 0)), mode="reflect")
+
     for dy in range(-search_radius, search_radius + 1):
         for dx in range(-search_radius, search_radius + 1):
-            shifted = jnp.roll(image, (dy, dx), axis=(0, 1))
+            # shifted[y, x] = image_reflected[y - dy, x - dx]
+            shifted = padded[r - dy : r - dy + hh, r - dx : r - dx + ww, :]
             ssd = _box_sum(jnp.sum((image - shifted) ** 2, axis=-1), patch_size)
             w = jnp.exp(-ssd / (h2 * patch_size * patch_size * 3.0))
             acc = acc + shifted * w[..., None]
