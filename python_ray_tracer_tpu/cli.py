@@ -72,6 +72,10 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
         help="initialize the multi-host runtime (jax.distributed) before "
         "building the mesh; PNG writes happen on process 0 only",
     )
+    p.add_argument("--coordinator", type=str, help="coordinator address for "
+                   "--distributed (default: the TPU environment's automatic discovery)")
+    p.add_argument("--num-processes", type=int, help="process count for --distributed")
+    p.add_argument("--process-id", type=int, help="this process's id for --distributed")
 
 
 def _build(args) -> tuple:
@@ -136,7 +140,11 @@ def _maybe_mesh(args):
     if dist:
         from .parallel.distributed import initialize
 
-        initialize()
+        initialize(
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
     from .parallel import make_mesh
 
     return make_mesh(ray_shards or None, sphere_shards)
@@ -147,8 +155,10 @@ def cmd_render(args) -> int:
     from .utils.image import save_png
     from .utils.metrics import MetricsLogger, profile_trace, rays_per_second
 
-    scene, cfg, extras = _build(args)
+    # Mesh/distributed first: jax.distributed.initialize must run before
+    # anything touches the backend, and _build creates device arrays.
     mesh = _maybe_mesh(args)
+    scene, cfg, extras = _build(args)
     metrics = MetricsLogger(args.metrics)
     if mesh is None:
         fn = jax.jit(render, static_argnums=1)
@@ -215,8 +225,8 @@ def cmd_optimize(args) -> int:
 
     import optax
 
+    mesh = _maybe_mesh(args)  # before _build: see cmd_render
     scene, cfg, _extras = _build(args)
-    mesh = _maybe_mesh(args)
     target = jnp.asarray(np.asarray(load_png(args.target), np.float32) / 255.0, cfg.dtype)
     if target.shape[:2] != (scene.camera.height, scene.camera.width):
         print(  # noqa: T201

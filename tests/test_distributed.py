@@ -99,3 +99,45 @@ def test_worker_kill_mid_optimize_then_cluster_resume(tmp_path):
     assert int(resumed_from) < steps
     assert int(final_step) == steps
     assert np.isfinite(float(final_loss))
+
+
+def test_two_process_loopback_cli_render(tmp_path):
+    """The CLI reaches the multi-host path (VERDICT r2 item 5): two
+    loopback processes run ``cli render --distributed`` with 2 virtual
+    CPU devices each; process 0 gathers and writes the PNG; the image
+    matches the single-process CLI render."""
+    from python_ray_tracer_tpu.utils.image import load_png
+
+    coord = f"127.0.0.1:{_free_port()}"
+    out = tmp_path / "dist.png"
+    base_env = dict(os.environ, PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu")
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    args = [
+        "render", "--builtin", "reference", "--width", "64", "--height", "36",
+        "--depth", "2", "-o", str(out),
+        "--distributed", "--coordinator", coord, "--num-processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "python_ray_tracer_tpu.cli", *args, "--process-id", str(i)],
+            env=base_env, cwd=str(REPO),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outputs):
+        assert p.returncode == 0, o[-2000:]
+    assert out.exists()
+
+    # single-process CLI reference image
+    out1 = tmp_path / "single.png"
+    p = subprocess.run(
+        [sys.executable, "-m", "python_ray_tracer_tpu.cli", "render", "--builtin", "reference",
+         "--width", "64", "--height", "36", "--depth", "2", "-o", str(out1)],
+        env=base_env, cwd=str(REPO), stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=300,
+    )
+    assert p.returncode == 0, p.stdout[-2000:]
+    np.testing.assert_array_equal(load_png(out), load_png(out1))
