@@ -30,7 +30,7 @@ def _add_render_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--builtin",
         type=str,
-        choices=["reference", "all_effects", "random1024", "inverse64"],
+        choices=["reference", "all_effects", "random1024", "textured1024", "inverse64"],
         help="built-in scene",
     )
     p.add_argument("--settings", type=str, help="JSON render-settings file")
@@ -114,6 +114,8 @@ def _build(args) -> tuple:
             scene = builtin.all_effects_scene(width, height, dtype=cfg.dtype)
         elif name == "random1024":
             scene = builtin.random_spheres_scene(width=width, height=height, dtype=cfg.dtype)
+        elif name == "textured1024":
+            scene = builtin.textured_spheres_scene(width=width, height=height, dtype=cfg.dtype)
         else:
             scene = builtin.inverse_task_scene(width=width, height=height, dtype=cfg.dtype)
     if depth_auto:

@@ -145,6 +145,49 @@ def random_spheres_scene(
     return make_scene(spheres, lights, (0.0, 1.0, -4.0), width, height, dtype=dtype)
 
 
+def textured_spheres_scene(
+    n_spheres: int = 1024,
+    width: int = 1920,
+    height: int = 1080,
+    tex_side: int = 512,
+    n_textures: int = 2,
+    seed: int = 13,
+    dtype: Any = jnp.float32,
+) -> Scene:
+    """Config-4-scale scene with equirectangular image textures.
+
+    Every 4th sphere samples one of ``n_textures`` random ``tex_side``²
+    images — far beyond the in-VMEM sampler cap, so this exercises the
+    culled path's external texel gather (round 3).  Checker ground kept.
+    """
+    from ..scene import TEXTURE_IMAGE
+
+    rng = np.random.default_rng(seed)
+    atlas = rng.uniform(0.05, 1.0, (n_textures, tex_side, tex_side, 3)).astype(np.float32)
+    rows = [
+        make_sphere_row(
+            (0.0, -99999.5, 0.0), 99999.0, specular_gain=0.1,
+            specular_roughness=0.5, diffuse_gain=1.0, texture_kind=TEXTURE_CHECKER,
+        )
+    ]
+    for i in range(n_spheres - 1):
+        center = rng.uniform([-12.0, -0.3, 1.0], [12.0, 6.0, 30.0])
+        kw = dict(
+            specular_gain=float(rng.uniform(0.0, 1.0)),
+            specular_roughness=float(rng.uniform(0.05, 0.8)),
+            diffuse_gain=float(rng.uniform(0.3, 1.0)),
+            diffuse_color=rng.uniform(0.1, 1.0, 3),
+        )
+        if i % 4 == 0:
+            kw.update(texture_kind=TEXTURE_IMAGE, texture_id=i % n_textures)
+        rows.append(make_sphere_row(center, float(rng.uniform(0.1, 0.5)), **kw))
+    spheres = build_spheres(rows, dtype=dtype)
+    lights = build_lights((-8.0, 10.0, -2.0), domes=[(0.15, (1.0, 1.0, 1.0))], dtype=dtype)
+    return make_scene(
+        spheres, lights, (0.0, 1.0, -4.0), width, height, texture_atlas=atlas, dtype=dtype
+    )
+
+
 def inverse_task_scene(
     n_spheres: int = 64,
     width: int = 256,

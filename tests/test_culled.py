@@ -270,46 +270,14 @@ def test_sort_granularity_invariance(monkeypatch):
         assert (diff > 1e-2).mean() < 1e-3
 
 
-def _textured_big_scene(n_spheres=128, w=64, h=36, tex_side=512):
-    """Culled-eligible scene (>= MIN_CULL_SPHERES) with image textures far
-    beyond MAX_FUSED_TEXELS (one 512x512 texture alone is 262144 texels):
-    exercises the external-texel-gather scheme (VERDICT r2 item 4)."""
-    from python_ray_tracer_tpu.scene import (
-        TEXTURE_CHECKER, TEXTURE_IMAGE, build_lights, build_spheres,
-        make_scene, make_sphere_row,
-    )
-
-    rng = np.random.default_rng(13)
-    atlas = rng.uniform(0.05, 1.0, (2, tex_side, tex_side, 3)).astype(np.float32)
-    rows = [
-        make_sphere_row(
-            (0.0, -99999.5, 0.0), 99999.0, specular_gain=0.1,
-            specular_roughness=0.5, diffuse_gain=1.0, texture_kind=TEXTURE_CHECKER,
-        )
-    ]
-    for i in range(n_spheres - 1):
-        center = rng.uniform([-10.0, -0.3, 1.0], [10.0, 5.0, 25.0])
-        kw = dict(
-            specular_gain=float(rng.uniform(0.0, 1.0)),
-            specular_roughness=float(rng.uniform(0.05, 0.8)),
-            diffuse_gain=float(rng.uniform(0.3, 1.0)),
-            diffuse_color=rng.uniform(0.1, 1.0, 3),
-        )
-        if i % 4 == 0:
-            kw.update(texture_kind=TEXTURE_IMAGE, texture_id=i % 2)
-        rows.append(make_sphere_row(center, float(rng.uniform(0.1, 0.5)), **kw))
-    spheres = build_spheres(rows, dtype=jnp.float32)
-    lights = build_lights((-8.0, 10.0, -2.0), domes=[(0.15, (1.0, 1.0, 1.0))], dtype=jnp.float32)
-    return make_scene(
-        spheres, lights, (0.0, 1.0, -4.0), w, h, texture_atlas=atlas, dtype=jnp.float32
-    )
-
-
 def test_culled_image_atlas_matches_xla():
     """Image textures through the culled path (in-kernel flat texel ids +
     external XLA gather) == the XLA sampler, at an atlas size the fused
-    in-VMEM sampler could never hold."""
-    scene = _textured_big_scene()
+    in-VMEM sampler could never hold (one 512x512 texture alone is 8x
+    MAX_FUSED_TEXELS) — VERDICT r2 item 4."""
+    from python_ray_tracer_tpu.models.scenes import textured_spheres_scene
+
+    scene = textured_spheres_scene(n_spheres=128, width=64, height=36)
     cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32)
     cfg_p = RenderConfig(max_depth=2, dtype=jnp.float32, use_pallas=True,
                          pallas_interpret=True, block_rays=512)
