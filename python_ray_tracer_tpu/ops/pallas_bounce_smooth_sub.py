@@ -96,6 +96,16 @@ def _scalar_sphere(geom_ref, k):
     return geom_ref[k, 0], geom_ref[k, 1], geom_ref[k, 2], geom_ref[k, 3]
 
 
+def _scalar_sphere_t(geom_ref, k):
+    """Sphere k from the TRANSPOSED (4, S) SMEM table (blocked mode).
+
+    SMEM rows pad to 512 B each, so an (S, 4) layout costs S x 512 B —
+    the whole ~1 MB SMEM at S = 2048 (measured compile OOM).  Four (S,)
+    rows cost 4 x max(512 B, 4S).
+    """
+    return geom_ref[0, k], geom_ref[1, k], geom_ref[2, k], geom_ref[3, k]
+
+
 def _sphere_fn(k, s_cheap):
     """Tier-correct (sol, disc, t, b, ct) evaluator for sphere k."""
     return _block_sol_disc_plain if k < s_cheap else _block_sol_disc_exact
@@ -166,7 +176,7 @@ class _FwdSub:
                 # per-sphere math + sequential tie semantics, O(1) compile.
                 def near_body(k, carry, fn):
                     tmin, imin, dmax, idmax = carry
-                    c = _scalar_sphere(geom_ref, k)
+                    c = _scalar_sphere_t(geom_ref, k)
                     sol, disc, t, _, _ = fn(o, d, (c[0], c[1], c[2]), c[3], faraway)
                     take = t < tmin  # strict: lowest index wins exact ties
                     tmin = jnp.where(take, t, tmin)
@@ -259,7 +269,7 @@ class _FwdSub:
             clear = saved_clear
         elif self.blocked:
             def sh_body(k, clear, fn):
-                c = _scalar_sphere(geom_ref, k)
+                c = _scalar_sphere_t(geom_ref, k)
                 sol, disc, _, _, _ = fn(self.p_n, self.L, (c[0], c[1], c[2]), c[3], faraway)
                 occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
                 return clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
@@ -711,7 +721,7 @@ def _bwd_kernel_sub(
         # (1, 4) row accumulated into the VMEM table at dynamic index k.
         def c_body(k, carry, fn):
             p0, p1, p2, l0, l1, l2 = carry
-            c = _scalar_sphere(geom_ref, k)
+            c = _scalar_sphere_t(geom_ref, k)
             sol, disc, _, b, ct = fn(f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway)
             sd = _sig(f.sharp_s * disc)
             ss = _sig(f.sharp_s * sol)
@@ -909,7 +919,10 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
     lane, vec, smem = _specs_sub(block_rays)
     # Blocked mode: mat is the (C, S_pad) table transpose in VMEM (lane
     # gathers need vector memory); unrolled mode reads (S, C) SMEM scalars.
+    # The geometry table goes in TRANSPOSED, (4, S): see _scalar_sphere_t.
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
+    if blocked:
+        geom = geom.T
     kernel = functools.partial(
         _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
     )
@@ -954,8 +967,11 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
     mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
     # Blocked mode accumulates the geometry/material-table gradients in
     # VMEM (dynamic row writes + one-hot matmuls); unrolled uses SMEM.
+    # The gradient keeps the (S, 4) shape (row writes at dynamic index);
+    # only the INPUT table transposes to (4, S) for SMEM row economy.
     geom_acc = _vmem_acc_spec(geom.shape) if blocked else _smem_acc_spec(geom.shape)
     mat_acc = _vmem_acc_spec(mat.shape) if blocked else _smem_acc_spec(mat.shape)
+    geom_in = geom.T if blocked else geom
     kernel = functools.partial(
         _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
     )
@@ -996,7 +1012,7 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
             _sds(consts.shape, dtype, vma),
         ),
         interpret=interpret,
-    )(o3, d3, thr, alive, idx, hit, clear, geom, mat, consts, *xi_in, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
+    )(o3, d3, thr, alive, idx, hit, clear, geom_in, mat, consts, *xi_in, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
