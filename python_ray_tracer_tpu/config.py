@@ -82,10 +82,12 @@ class RenderConfig:
             ``"sum"``: shade both tied spheres and add the results, the
             reference's actual double-shading semantics
             (``base.py:103,119`` shades every sphere whose distance equals
-            the minimum and sums).  Covers 2-way ties (deeper ties are
-            measure-zero-squared); the mirror continuation follows the
-            lowest-index winner.  Hard visibility, XLA path only (the
-            fused kernels and smooth mode use ``"first"``).
+            the minimum and sums) — INCLUDING both winners' mirror
+            recursion trees (the second winner's continuation runs as a
+            nested fixed-depth trace).  Covers 2-way ties; ties inside
+            the second continuation follow lowest-index (deeper tie
+            combinations are measure-zero-squared).  Hard visibility,
+            XLA path only, O(depth²) bounce cost — the exactness mode.
     """
 
     max_depth: int = 3

@@ -553,6 +553,28 @@ def trace(
             local2 = shade(p, normal2, to_light, to_camera, in_light2, mat2, scene)
             w2 = throughput * coverage * has2.astype(dtype)
             accum = accum + local2.color * w2[:, None]
+            if cfg.max_depth > 1:
+                # Both tied winners spawn mirror recursion upstream: each
+                # shaded batch calls _calculate_reflection (base.py:110 ->
+                # shader.py:96,152), so the second winner's bounce tree
+                # contributes too.  The continuation is linear in its
+                # entry weight, so it runs as a NESTED fixed-depth trace
+                # scaled by w2 * refl_coeff2.  Ties inside that
+                # continuation follow lowest-index (ties-of-ties are
+                # measure-zero squared); cost is O(depth^2) bounces —
+                # tie_mode="sum" is the exactness mode, not the fast path.
+                import dataclasses
+
+                sub_cfg = dataclasses.replace(
+                    cfg, max_depth=cfg.max_depth - 1, tie_mode="first", use_pallas=False
+                )
+                cont2 = trace(
+                    p_nudged2, reflect(d, normal2), scene, sub_cfg,
+                    sweep_center=sweep_center, sweep_radius=sweep_radius,
+                    sphere_axis=sphere_axis, sphere_offset=sphere_offset,
+                    ray_axis=ray_axis,
+                )
+                accum = accum + cont2 * (w2 * local2.refl_coeff)[:, None]
         throughput = throughput * coverage * local.refl_coeff
         alive = coverage if smooth else (alive * near.hit.astype(dtype))
 

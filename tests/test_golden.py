@@ -91,9 +91,9 @@ def test_tie_mode_sum_matches_live_reference(reference_modules):
     base, shape, shader, domain = mods["base"], mods["shape"], mods["shader"], mods["domain"]
     V, RGB = base.NumpyVector3D, base.NumpyRGBColor
     w, h = 96, 54
-    # sg=0 on both: ties on reflective spheres would double the recursion
-    # weight upstream, which the single-continuation scan cannot represent
-    # (documented divergence, config.py tie_mode).
+    # sg=0 on both: isolates the double-SHADING semantics; the doubled
+    # recursion weight of reflective ties is pinned separately by
+    # test_tie_mode_sum_reflective_continuation below.
     mats = [
         (0.8, RGB(0.3, 0.2, 0.1)),
         (0.6, RGB(0.1, 0.3, 0.2)),
@@ -130,6 +130,63 @@ def test_tie_mode_sum_matches_live_reference(reference_modules):
     cfg_first = RenderConfig(max_depth=2, dtype=jnp.float64)
     first = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_first))
     assert (to_uint8(first) != to_uint8(ref)).any()  # single-shaded is dimmer
+
+
+def test_tie_mode_sum_reflective_continuation(reference_modules):
+    """Exact ties on REFLECTIVE spheres: the reference spawns mirror
+    recursion for BOTH shaded batches (base.py:103,119 → shader.py:96,152),
+    so a tie doubles the continuation weight.  tie_mode='sum' reproduces
+    that via a nested trace for the second winner (round 3 — closes the
+    last documented divergence).  The backdrop sphere sits BEHIND the
+    camera and is visible only in reflections, so the doubled recursion
+    weight is exactly what distinguishes the full semantics from the old
+    single-continuation approximation."""
+    mods = reference_modules
+    base, shape, shader, domain = mods["base"], mods["shape"], mods["shader"], mods["domain"]
+    V, RGB = base.NumpyVector3D, base.NumpyRGBColor
+    w, h = 96, 54
+    mats = [  # (specular_gain, diffuse_gain, color) — reflective tied pair
+        (0.5, 0.4, (0.3, 0.2, 0.1)),
+        (0.5, 0.3, (0.1, 0.3, 0.2)),
+    ]
+    ref_scene = domain.Scene3D(
+        [
+            shape.NumpySphere(
+                V(0.0, 0.0, 3.0), 1.0,
+                shader.NumpyShader(0.0, sg, 0.2, 0.0, dg, shader.Texture(RGB(*col))),
+            )
+            for sg, dg, col in mats
+        ]
+        + [
+            # bright backdrop, sg=0: terminates the recursion weights
+            shape.NumpySphere(
+                V(0.0, 0.0, -50.0), 40.0,
+                shader.NumpyShader(0.0, 0.0, 0.5, 0.0, 0.9, shader.Texture(RGB(0.9, 0.8, 0.2))),
+            )
+        ],
+        [domain.PointLight(V(-2, 1, 2)), domain.DomeLight(0.1, RGB(1.0, 1.0, 1.0))],
+        domain.Camera(V(0, 0.2, -2), w, h),
+    )
+    ref = reference_render(reference_modules, ref_scene)
+
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene, make_sphere_row
+
+    rows = [
+        make_sphere_row((0.0, 0.0, 3.0), 1.0, specular_gain=sg, specular_roughness=0.2,
+                        diffuse_gain=dg, diffuse_color=col)
+        for sg, dg, col in mats
+    ] + [
+        make_sphere_row((0.0, 0.0, -50.0), 40.0, specular_roughness=0.5,
+                        diffuse_gain=0.9, diffuse_color=(0.9, 0.8, 0.2)),
+    ]
+    scene = make_scene(
+        build_spheres(rows, dtype=jnp.float64),
+        build_lights((-2.0, 1.0, 2.0), domes=[(0.1, (1.0, 1.0, 1.0))], dtype=jnp.float64),
+        (0.0, 0.2, -2.0), w, h, dtype=jnp.float64,
+    )
+    cfg_sum = RenderConfig(max_depth=2, dtype=jnp.float64, tie_mode="sum")
+    ours = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_sum))
+    np.testing.assert_array_equal(to_uint8(ours), to_uint8(ref))
 
 
 def test_auto_depth_matches_unbounded_reference(reference_modules):
