@@ -93,12 +93,24 @@ def _sweep(
     *,
     n_exact: int | None = None,
     pin: bool = False,
+    exact_mask: jax.Array | None = None,
 ) -> IntersectResult:
     """All-spheres intersection sweep, Pallas or XLA.
 
     ``n_exact`` enables the two-tier float32 path (plain math on the
     cheap sphere prefix, compensated on the exact suffix); None keeps
     everything on the compensated path.
+
+    ``exact_mask`` (sphere-sharded mode only): per-LOCAL-row boolean of
+    "this row is in the GLOBAL exact suffix".  The static ``n_exact``
+    count cannot express the tier split of an arbitrary shard (SPMD runs
+    one program on every shard, but the global suffix covers different
+    local rows per shard), and applying the global count per shard
+    upgrades globally-cheap rows to compensated math — differently
+    rounded, which breaks the bitwise sharded==single-chip equality the
+    tie detection and owner-equality combines rely on.  With a mask both
+    tiers are computed and selected per row: each row gets the exact
+    same formula it gets on a single chip.
 
     ``pin=True`` wraps the result in an optimization_barrier so every
     consumer reads ONE canonical computation.  Needed only where a
@@ -111,6 +123,17 @@ def _sweep(
     """
     if not cfg.stable_intersect:
         res = intersect_all(origin, direction, center, radius, cfg.faraway)
+    elif exact_mask is not None:
+        from .ops.intersect import intersect_all_plain
+
+        a = intersect_all_plain(origin, direction, center, radius, cfg.faraway)
+        b = intersect_all_stable(origin, direction, center, radius, cfg.faraway)
+        m = exact_mask[None, :]
+        res = IntersectResult(
+            t=jnp.where(m, b.t, a.t),
+            sol=jnp.where(m, b.sol, a.sol),
+            disc=jnp.where(m, b.disc, a.disc),
+        )
     elif n_exact is None:
         res = intersect_all_stable(origin, direction, center, radius, cfg.faraway)
     else:
@@ -424,6 +447,19 @@ def trace(
     stochastic = cfg.stochastic_roughness and key is not None
     # Double-shade exact nearest-hit ties (ref base.py:103,119 semantics).
     tie_sum = cfg.tie_mode == "sum" and not smooth and not fused
+    # Sphere-sharded two-tier split: the global exact suffix covers
+    # different LOCAL rows on each shard, which the static per-shard
+    # n_exact count cannot express (see _sweep).  Build the global-index
+    # tier mask; only needed when the split cuts strictly inside the
+    # table (0 < E < S — the all-plain/all-stable ends are shard-uniform).
+    exact_mask = None
+    if sphere_axis is not None and cfg.stable_intersect:
+        n_ex, s_glob = scene.spheres.n_exact, scene.spheres.count
+        if 0 < n_ex < s_glob:
+            s_loc = sweep_center.shape[0]
+            exact_mask = (
+                jnp.arange(s_loc, dtype=jnp.int32) + sphere_offset >= s_glob - n_ex
+            )
 
     def bounce(carry, _):
         if stochastic:
@@ -435,6 +471,13 @@ def trace(
             o, d, throughput, alive, accum = carry
 
         if fused:
+            # Sphere-sharded tiering note: the kernels clamp the static
+            # global n_exact to min(n_exact, s_local) per shard, which can
+            # only UPGRADE globally-cheap rows to compensated math (the
+            # global exact suffix is always covered — see _sweep's
+            # exact_mask derivation).  Accuracy-conservative; the fused
+            # path never does bitwise tie detection (tie_mode="first"
+            # only), so the rounding difference vs single-chip is benign.
             res = None
             near_l = nearest_hit_pallas(
                 _sphere_varying(o),
@@ -459,6 +502,7 @@ def trace(
                 o, d, sweep_center, sweep_radius, cfg,
                 n_exact=scene.spheres.n_exact,
                 pin=sphere_axis is not None or tie_sum,
+                exact_mask=exact_mask,
             )
             near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
@@ -521,6 +565,7 @@ def trace(
             shadow_res = _sweep(
                 p_nudged, to_light, sweep_center, sweep_radius, cfg,
                 n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+                exact_mask=exact_mask,
             )
             if smooth:
                 in_light = _shadow_smooth(shadow_res, idx, cfg, sphere_axis, sphere_offset, dtype)
@@ -548,6 +593,7 @@ def trace(
             shadow_res2 = _sweep(
                 p_nudged2, to_light, sweep_center, sweep_radius, cfg,
                 n_exact=scene.spheres.n_exact, pin=sphere_axis is not None,
+                exact_mask=exact_mask,
             )
             in_light2 = _shadow_hard(shadow_res2, idx2, sphere_axis, sphere_offset, dtype)
             local2 = shade(p, normal2, to_light, to_camera, in_light2, mat2, scene)

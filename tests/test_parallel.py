@@ -119,3 +119,29 @@ def test_stochastic_sharded_matches_single():
         diff = np.abs(got - expected)
         assert np.quantile(diff, 0.999) < 2e-4, shape
         assert (diff > 1e-2).mean() < 1e-3, shape
+
+
+def test_tie_sum_sharded_matches_single():
+    """tie_mode='sum' (double shading + BOTH winners' mirror continuations,
+    a nested trace inside the bounce scan) composes with the mesh."""
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene, make_sphere_row
+
+    rows = [
+        make_sphere_row((0.0, 0.0, 3.0), 1.0, specular_gain=0.5, specular_roughness=0.2,
+                        diffuse_gain=0.4, diffuse_color=(0.3, 0.2, 0.1)),
+        make_sphere_row((0.0, 0.0, 3.0), 1.0, specular_gain=0.5, specular_roughness=0.2,
+                        diffuse_gain=0.3, diffuse_color=(0.1, 0.3, 0.2)),
+        make_sphere_row((0.0, 0.0, -50.0), 40.0, specular_roughness=0.5,
+                        diffuse_gain=0.9, diffuse_color=(0.9, 0.8, 0.2)),
+    ]
+    scene = make_scene(
+        build_spheres(rows, dtype=jnp.float32),
+        build_lights((-2.0, 1.0, 2.0), domes=[(0.1, (1.0, 1.0, 1.0))], dtype=jnp.float32),
+        (0.0, 0.2, -2.0), 64, 36, dtype=jnp.float32,
+    )
+    cfg = RenderConfig(max_depth=2, dtype=jnp.float32, tie_mode="sum")
+    expected = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg))
+    for shape in ((8, 1), (4, 2)):
+        mesh = make_mesh(*shape)
+        got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg, mesh))
+        np.testing.assert_allclose(got, expected, rtol=0, atol=1e-5, err_msg=str(shape))
