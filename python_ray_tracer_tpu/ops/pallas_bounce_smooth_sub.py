@@ -470,63 +470,22 @@ def _fwd_kernel_sub(
         dww_out[:, :] = f.dww
 
 
-def _bwd_kernel_sub(
-    # saved inputs + output cotangents (g_dww present only for atlas runs)
-    *refs,
-    params,
-):
+def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, params):
+    """One bounce's handwritten adjoint (Phases A-G).
+
+    ``cots`` = (g_o_out, g_dout, g_thr_o, g_alive_o, g_acc, g_dww_raw) —
+    the cotangents of this bounce's outputs.  Returns the cotangents of
+    its INPUTS ``(g_o_in, g_d_in, g_thr_in, g_alive_in)`` (g_acc passes
+    through unchanged: acc is a pure accumulator).  Table/const gradients
+    accumulate (+=) into the g*_ref accumulator outputs — shared verbatim
+    by the per-bounce backward kernel and the depth-fused one (which
+    calls this ``depth`` times in reverse, keeping the lane cotangent
+    chain in registers instead of HBM).
+    """
     (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
-    (
-        o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
-        geom_ref, mat_ref, const_ref,
-    ) = refs[:10]
-    rest = refs[10:]
-    if stoch:
-        xi_ref, *rest = rest
-        xi = (xi_ref[0], xi_ref[1])
-    else:
-        xi = None
-    (go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref) = rest[:5]
-    rest = rest[5:]
-    if tex_hw is not None:
-        gdww_ref = rest[0]
-        rest = rest[1:]
-    (
-        go_in_ref, gd_in_ref, gthr_in_ref, galive_in_ref,
-        ggeom_ref, gmat_ref, gconst_ref,
-    ) = rest
-    o = (o_ref[0], o_ref[1], o_ref[2])
-    d = (d_ref[0], d_ref[1], d_ref[2])
-    saved = (idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :])
-    f = _FwdSub(
-        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params,
-        saved=saved, xi=xi,
-    )
+    (g_o_out, g_dout, g_thr_o, g_alive_o, g_acc, g_dww_raw) = cots
     dtype = f.dtype
     m = f.m
-    step = pl.program_id(0)
-
-    g_dout = (gd_ref[0], gd_ref[1], gd_ref[2])
-    g_o_out = (go_ref[0], go_ref[1], go_ref[2])
-    g_acc = (gacc_ref[0], gacc_ref[1], gacc_ref[2])
-    g_thr_o = gthr_ref[:, :]
-    g_alive_o = galive_ref[:, :]
-
-    # Table gradient accumulators persist across grid steps; zero on the
-    # first step.  Unrolled mode: SMEM scalars; blocked mode: VMEM arrays.
-    @pl.when(step == 0)
-    def _init():
-        if blocked:
-            ggeom_ref[:, :] = jnp.zeros_like(ggeom_ref)
-            gmat_ref[:, :] = jnp.zeros_like(gmat_ref)
-        else:
-            for kk in range(s_total):
-                for cc in range(4):
-                    ggeom_ref[kk, cc] = 0.0
-                for cc in range(_COLS):
-                    gmat_ref[kk, cc] = 0.0
-        for cc in range(_NCONST):
-            gconst_ref[0, cc] = 0.0
 
     # --- Phase A: top-level + shading adjoints (verbatim lane kernel) ---
     g_color = tuple(g_acc[i] * f.w for i in range(3))
@@ -535,7 +494,7 @@ def _bwd_kernel_sub(
     if tex_hw is not None:
         # External diffuse-texture term: acc += texel * dww with
         # dww = where(is_image, dw * w, 0); texel is gradient-free.
-        g_dww = jnp.where(f.is_image, gdww_ref[:, :], 0.0)
+        g_dww = jnp.where(f.is_image, g_dww_raw, 0.0)
         g_w = g_w + g_dww * f.dw
     g_rc = g_thr_o * f.w
     g_sg = 0.5 * f.clear * g_rc
@@ -875,10 +834,84 @@ def _bwd_kernel_sub(
     for i, v in enumerate(const_vals):
         gconst_ref[0, i] = gconst_ref[0, i] + jnp.sum(v)
 
+    return tuple(g_o_in), tuple(g_d_acc), g_thr_in, g_alive_in
+
+
+def _zero_table_grads(ggeom_ref, gmat_ref, gconst_ref, blocked, s_total):
+    """Zero the gradient accumulators (once, on the first grid step).
+
+    Unrolled mode: SMEM scalars; blocked mode: VMEM arrays.
+    """
+    if blocked:
+        ggeom_ref[:, :] = jnp.zeros_like(ggeom_ref)
+        gmat_ref[:, :] = jnp.zeros_like(gmat_ref)
+    else:
+        for kk in range(s_total):
+            for cc in range(4):
+                ggeom_ref[kk, cc] = 0.0
+            for cc in range(_COLS):
+                gmat_ref[kk, cc] = 0.0
+    for cc in range(_NCONST):
+        gconst_ref[0, cc] = 0.0
+
+
+def _bwd_kernel_sub(
+    # saved inputs + output cotangents (g_dww present only for atlas runs)
+    *refs,
+    params,
+):
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
+    (
+        o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
+        geom_ref, mat_ref, const_ref,
+    ) = refs[:10]
+    rest = refs[10:]
+    if stoch:
+        xi_ref, *rest = rest
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+    (go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref) = rest[:5]
+    rest = rest[5:]
+    gdww_raw = None
+    if tex_hw is not None:
+        gdww_raw = rest[0][:, :]
+        rest = rest[1:]
+    (
+        go_in_ref, gd_in_ref, gthr_in_ref, galive_in_ref,
+        ggeom_ref, gmat_ref, gconst_ref,
+    ) = rest
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    saved = (idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :])
+    f = _FwdSub(
+        o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params,
+        saved=saved, xi=xi,
+    )
+    step = pl.program_id(0)
+
+    # Table gradient accumulators persist across grid steps; zero on the
+    # first step.
+    @pl.when(step == 0)
+    def _init():
+        _zero_table_grads(ggeom_ref, gmat_ref, gconst_ref, blocked, s_total)
+
+    cots = (
+        (go_ref[0], go_ref[1], go_ref[2]),
+        (gd_ref[0], gd_ref[1], gd_ref[2]),
+        gthr_ref[:, :],
+        galive_ref[:, :],
+        (gacc_ref[0], gacc_ref[1], gacc_ref[2]),
+        gdww_raw,
+    )
+    g_o_in, g_d_in, g_thr_in, g_alive_in = _adjoint_bounce(
+        f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, params
+    )
+
     # --- per-lane outputs ----------------------------------------------
     for i in range(3):
         go_in_ref[i] = g_o_in[i]
-        gd_in_ref[i] = g_d_acc[i]
+        gd_in_ref[i] = g_d_in[i]
     gthr_in_ref[:, :] = g_thr_in
     galive_in_ref[:, :] = g_alive_in
 
@@ -1086,6 +1119,273 @@ def _bounce_sub_stoch_vjp_bwd(params, res, cots):
 _bounce_sub_stoch.defvjp(_bounce_sub_stoch_vjp_fwd, _bounce_sub_stoch_vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Depth-fused kernels: ONE forward launch runs ALL bounces with the ray
+# state resident in VMEM (per-depth residuals written to stacked rank-3
+# outputs), ONE backward launch runs the adjoint chain in reverse with the
+# lane cotangents in registers.  Removes the per-bounce HBM round trips of
+# the scan formulation (state in/out per bounce boundary) and 2(depth-1)
+# kernel launches per training step.  The scan path below remains for
+# depth 1, depth > MAX_FUSE_DEPTH, and A/B measurement.
+# ---------------------------------------------------------------------------
+
+# Depth is Python-unrolled inside the kernels (static, small); past this
+# the compile-size tradeoff is unmeasured and the scan path takes over.
+MAX_FUSE_DEPTH = 6
+
+
+def _fwd_kernel_sub_deep(*refs, params, depth):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked) = params
+    (o_ref, d_ref, geom_ref, mat_ref, const_ref, *rest) = refs
+    if stoch:
+        xi_ref, *rest = rest  # (2*depth, 8, B)
+    (
+        acc_out, osave_out, dsave_out, thrsave_out, alivesave_out,
+        idx_out, hit_out, clear_out, *tex_outs,
+    ) = rest
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    dtype = o[0].dtype
+    shape = o[0].shape
+    thr = jnp.ones(shape, dtype)
+    alive = jnp.ones(shape, dtype)
+    acc = [jnp.zeros(shape, dtype) for _ in range(3)]
+    for dep in range(depth):
+        if dep > 0:
+            # Residuals: the state ENTERING bounce `dep` (bounce 0's state
+            # is the kernel's own input, already in HBM).
+            for i in range(3):
+                osave_out[(dep - 1) * 3 + i] = o[i]
+                dsave_out[(dep - 1) * 3 + i] = d[i]
+            thrsave_out[dep - 1] = thr
+            alivesave_out[dep - 1] = alive
+        xi = (xi_ref[2 * dep], xi_ref[2 * dep + 1]) if stoch else None
+        f = _FwdSub(o, d, thr, alive, (geom_ref, mat_ref, const_ref), params, xi=xi)
+        for i in range(3):
+            acc[i] = acc[i] + f.color[i] * f.w
+        idx_out[dep] = f.idx
+        hit_out[dep] = f.hit.astype(dtype)
+        clear_out[dep] = f.clear
+        if tex_outs:
+            flat_out, dww_out = tex_outs
+            flat_out[dep] = f.flat
+            dww_out[dep] = f.dww
+        o, d, thr, alive = f.p_n, f.dout, f.thr_out, f.alive_out
+    for i in range(3):
+        acc_out[i] = acc[i]
+
+
+def _bwd_kernel_sub_deep(*refs, params, depth):
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
+    (
+        o_ref, d_ref, osave_ref, dsave_ref, thrsave_ref, alivesave_ref,
+        idx_ref, hit_ref, clear_ref, geom_ref, mat_ref, const_ref, *rest,
+    ) = refs
+    if stoch:
+        xi_ref, *rest = rest
+    gacc_ref, *rest = rest
+    gdww_ref = None
+    if tex_hw is not None:
+        gdww_ref, *rest = rest
+    (go_in_ref, gd_in_ref, ggeom_ref, gmat_ref, gconst_ref) = rest
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        _zero_table_grads(ggeom_ref, gmat_ref, gconst_ref, blocked, s_total)
+
+    g_acc = (gacc_ref[0], gacc_ref[1], gacc_ref[2])
+    dtype = gacc_ref[0].dtype
+    shape = gacc_ref[0].shape
+    zero = jnp.zeros(shape, dtype)
+    # The trace discards the final bounce's (o, d, thr, alive) outputs:
+    # their cotangents start at zero; g_acc is constant across bounces
+    # (acc is a pure accumulator).
+    g_o = (zero, zero, zero)
+    g_d = (zero, zero, zero)
+    g_thr = zero
+    g_alive = zero
+    for dep in reversed(range(depth)):
+        if dep == 0:
+            o = (o_ref[0], o_ref[1], o_ref[2])
+            d = (d_ref[0], d_ref[1], d_ref[2])
+            thr = jnp.ones(shape, dtype)
+            alive = jnp.ones(shape, dtype)
+        else:
+            o = tuple(osave_ref[(dep - 1) * 3 + i] for i in range(3))
+            d = tuple(dsave_ref[(dep - 1) * 3 + i] for i in range(3))
+            thr = thrsave_ref[dep - 1]
+            alive = alivesave_ref[dep - 1]
+        saved = (idx_ref[dep], hit_ref[dep] != 0, clear_ref[dep])
+        xi = (xi_ref[2 * dep], xi_ref[2 * dep + 1]) if stoch else None
+        f = _FwdSub(
+            o, d, thr, alive, (geom_ref, mat_ref, const_ref), params,
+            saved=saved, xi=xi,
+        )
+        cots = (g_o, g_d, g_thr, g_alive, g_acc, gdww_ref[dep] if gdww_ref is not None else None)
+        g_o, g_d, g_thr, g_alive = _adjoint_bounce(
+            f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, params
+        )
+    for i in range(3):
+        go_in_ref[i] = g_o[i]
+        gd_in_ref[i] = g_d[i]
+
+
+def _fwd_call_sub_deep(params, o3, d3, geom, mat, consts, xi_all=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, block_rays, interpret, vma, depth) = params
+    m_cols = d3.shape[2]
+    lane, vec, smem = _specs_sub(block_rays)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
+    if blocked:
+        geom = geom.T
+    kernel = functools.partial(
+        _fwd_kernel_sub_deep,
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        depth=depth,
+    )
+    dtype = d3.dtype
+    b_cols = block_rays // _SUBLANES
+
+    def stk(rows):  # stacked per-depth rank-3 block over the ray grid
+        return pl.BlockSpec((rows, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    xi_spec = [stk(2 * depth)] if stoch else []
+    xi_in = (xi_all,) if stoch else ()
+    tex_specs = (stk(depth), stk(depth)) if tex_hw is not None else ()
+    tex_shapes = (
+        (_sds((depth, _SUBLANES, m_cols), jnp.int32, vma), _sds((depth, _SUBLANES, m_cols), dtype, vma))
+        if tex_hw is not None
+        else ()
+    )
+    ds = depth - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(m_cols // b_cols,),
+        in_specs=[vec, vec, smem, mat_spec, smem] + xi_spec,
+        out_specs=(vec, stk(3 * ds), stk(3 * ds), stk(ds), stk(ds), stk(depth), stk(depth), stk(depth)) + tex_specs,
+        out_shape=(
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((3 * ds, _SUBLANES, m_cols), dtype, vma),
+            _sds((3 * ds, _SUBLANES, m_cols), dtype, vma),
+            _sds((ds, _SUBLANES, m_cols), dtype, vma),
+            _sds((ds, _SUBLANES, m_cols), dtype, vma),
+            _sds((depth, _SUBLANES, m_cols), jnp.int32, vma),
+            _sds((depth, _SUBLANES, m_cols), dtype, vma),
+            _sds((depth, _SUBLANES, m_cols), dtype, vma),
+        )
+        + tex_shapes,
+        interpret=interpret,
+    )(o3, d3, geom, mat, consts, *xi_in)
+
+
+def _bwd_call_sub_deep(params, o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear, geom, mat, consts, g_acc, g_dww=None, xi_all=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, block_rays, interpret, vma, depth) = params
+    m_cols = d3.shape[2]
+    lane, vec, smem = _specs_sub(block_rays)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
+    geom_acc = _vmem_acc_spec(geom.shape) if blocked else _smem_acc_spec(geom.shape)
+    mat_acc = _vmem_acc_spec(mat.shape) if blocked else _smem_acc_spec(mat.shape)
+    geom_in = geom.T if blocked else geom
+    kernel = functools.partial(
+        _bwd_kernel_sub_deep,
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        depth=depth,
+    )
+    dtype = d3.dtype
+    b_cols = block_rays // _SUBLANES
+
+    def stk(rows):
+        return pl.BlockSpec((rows, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    xi_spec = [stk(2 * depth)] if stoch else []
+    xi_in = (xi_all,) if stoch else ()
+    tex_in = (g_dww,) if tex_hw is not None else ()
+    ds = depth - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(m_cols // b_cols,),
+        in_specs=[
+            vec, vec, stk(3 * ds), stk(3 * ds), stk(ds), stk(ds),
+            stk(depth), stk(depth), stk(depth),
+            smem, mat_spec, smem,
+        ]
+        + xi_spec
+        + [vec]
+        + ([stk(depth)] if tex_hw is not None else []),
+        out_specs=(vec, vec, geom_acc, mat_acc, _smem_acc_spec(consts.shape)),
+        out_shape=(
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds(geom.shape, dtype, vma),
+            _sds(mat.shape, dtype, vma),
+            _sds(consts.shape, dtype, vma),
+        ),
+        interpret=interpret,
+    )(o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear, geom_in, mat, consts, *xi_in, g_acc, *tex_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trace_sub_deep(params, o3, d3, geom, mat, consts):
+    outs = _fwd_call_sub_deep(params, o3, d3, geom, mat, consts)
+    tex_hw = params[5]
+    return (outs[0],) + (outs[8:] if tex_hw is not None else ())
+
+
+def _trace_sub_deep_vjp_fwd(params, o3, d3, geom, mat, consts):
+    outs = _fwd_call_sub_deep(params, o3, d3, geom, mat, consts)
+    primal = (outs[0],) + (outs[8:] if params[5] is not None else ())
+    return primal, (o3, d3) + outs[1:8] + (geom, mat, consts)
+
+
+def _trace_sub_deep_vjp_bwd(params, res, cots):
+    (o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear, geom, mat, consts) = res
+    if params[5] is not None:
+        (g_acc, _g_flat, g_dww) = cots  # flat is int: float0
+        g_dww = jnp.asarray(g_dww, d3.dtype)
+    else:
+        (g_acc,) = cots
+        g_dww = None
+    (go_in, gd_in, ggeom, gmat, gconsts) = _bwd_call_sub_deep(
+        params, o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear,
+        geom, mat, consts, g_acc, g_dww,
+    )
+    return (go_in, gd_in, ggeom, gmat, gconsts)
+
+
+_trace_sub_deep.defvjp(_trace_sub_deep_vjp_fwd, _trace_sub_deep_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trace_sub_deep_stoch(params, o3, d3, xi_all, geom, mat, consts):
+    outs = _fwd_call_sub_deep(params, o3, d3, geom, mat, consts, xi_all=xi_all)
+    tex_hw = params[5]
+    return (outs[0],) + (outs[8:] if tex_hw is not None else ())
+
+
+def _trace_sub_deep_stoch_vjp_fwd(params, o3, d3, xi_all, geom, mat, consts):
+    outs = _fwd_call_sub_deep(params, o3, d3, geom, mat, consts, xi_all=xi_all)
+    primal = (outs[0],) + (outs[8:] if params[5] is not None else ())
+    return primal, (o3, d3) + outs[1:8] + (xi_all, geom, mat, consts)
+
+
+def _trace_sub_deep_stoch_vjp_bwd(params, res, cots):
+    (o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear, xi_all, geom, mat, consts) = res
+    if params[5] is not None:
+        (g_acc, _g_flat, g_dww) = cots
+        g_dww = jnp.asarray(g_dww, d3.dtype)
+    else:
+        (g_acc,) = cots
+        g_dww = None
+    (go_in, gd_in, ggeom, gmat, gconsts) = _bwd_call_sub_deep(
+        params, o3, d3, osave, dsave, thrsave, alivesave, idx, hit, clear,
+        geom, mat, consts, g_acc, g_dww, xi_all=xi_all,
+    )
+    return (go_in, gd_in, jnp.zeros_like(xi_all), ggeom, gmat, gconsts)
+
+
+_trace_sub_deep_stoch.defvjp(_trace_sub_deep_stoch_vjp_fwd, _trace_sub_deep_stoch_vjp_bwd)
+
+
 def trace_fused_smooth_sub(
     origin: jax.Array,  # (N, 3) or (3,)
     direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
@@ -1162,6 +1462,44 @@ def trace_fused_smooth_sub(
         block, cfg.pallas_interpret,
         frozenset(vma) if vma else None,
     )
+
+    if vma:
+        def to_varying(x):
+            missing = tuple(a for a in vma if a not in getattr(jax.typeof(x), "vma", frozenset()))
+            return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+        o3, d3, geom, mat, consts = (to_varying(x) for x in (o3, d3, geom, mat, consts))
+
+    if 2 <= cfg.max_depth <= MAX_FUSE_DEPTH:
+        # Depth-fused route: one fwd launch for the whole bounce chain
+        # (state in VMEM, per-depth residuals out), one bwd launch for
+        # the reverse adjoint chain.  Scan route below for depth 1 /
+        # beyond the unroll cap.
+        params_deep = params + (cfg.max_depth,)
+        if stochastic:
+            # EXACT seed schedule of the scan path: fold per bounce,
+            # uniforms over the UNPADDED ray count, drawn up front.
+            from .rng import fold_seed, uniform2
+
+            k = key
+            xis = []
+            for _ in range(cfg.max_depth):
+                k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
+                xi = uniform2(k_bounce, n, dtype)
+                if n_pad != n:
+                    xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+                xis.append(xi.T.reshape(2, _SUBLANES, m_cols))
+            xi_all = jnp.concatenate(xis, axis=0)  # (2*depth, 8, M)
+            out = _trace_sub_deep_stoch(params_deep, o3, d3, xi_all, geom, mat, consts)
+        else:
+            out = _trace_sub_deep(params_deep, o3, d3, geom, mat, consts)
+        acc = out[0]
+        if textured:
+            flats, dwws = out[1], out[2]
+            for dep in range(cfg.max_depth):
+                tex_c = jnp.moveaxis(jnp.take(texels, flats[dep], axis=0), -1, 0)
+                acc = acc + tex_c * dwws[dep][None]
+        return acc.reshape(3, n_pad).T[:n]
 
     def compose_tex(out):
         if not textured:

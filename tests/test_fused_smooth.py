@@ -261,3 +261,40 @@ def test_stochastic_smooth_gradient_parity():
         a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
         scale = max(np.abs(a).max(), 1e-6)
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
+def test_depth_fused_matches_scan(monkeypatch, tmp_path):
+    """The depth-fused kernels (one launch for the whole bounce chain,
+    per-depth residuals) == the per-bounce scan formulation, forward and
+    gradient — across the unrolled, blocked, stochastic and image-atlas
+    modes.  The fused chain runs the SAME per-bounce math, so the forward
+    should agree to float-roundoff and the handwritten adjoint exactly
+    chains the same phases in reverse."""
+    import python_ray_tracer_tpu.ops.pallas_bounce_smooth_sub as pbs
+
+    scenes = [
+        ("ref3", reference_scene(48, 27, dtype=jnp.float32), {}),
+        ("blocked64", inverse_task_scene(n_spheres=64, width=48, height=27), {}),
+        ("stoch", reference_scene(48, 27, dtype=jnp.float32),
+         {"stochastic_roughness": True, "rng_seed": 9}),
+        ("atlas", _atlas_scene(tmp_path, 48, 27), {}),
+    ]
+    for label, scene, extra in scenes:
+        base = dict(max_depth=3, dtype=jnp.float32, visibility="smooth",
+                    edge_sharpness=20.0, shadow_sharpness=20.0, **extra)
+        cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+        target = jnp.clip(render(scene, RenderConfig(max_depth=3, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+        params = scene_to_params(scene)
+        out = {}
+        for mode, cap in (("deep", pbs.MAX_FUSE_DEPTH), ("scan", 0)):
+            monkeypatch.setattr(pbs, "MAX_FUSE_DEPTH", cap)
+            img = np.asarray(render(scene, cfg_p))
+            g = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+            out[mode] = (img, {k: np.asarray(v) for k, v in g.items()})
+        np.testing.assert_allclose(out["deep"][0], out["scan"][0], rtol=1e-5, atol=1e-6,
+                                   err_msg=label)
+        for key in out["scan"][1]:
+            a, b = out["scan"][1][key], out["deep"][1][key]
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+                                       err_msg=f"{label}:{key}")
