@@ -49,6 +49,13 @@ from .shading import AMBIENT, GLINT_EXPONENT, NUDGE, SHADING_EPS
 # sublane sweep of pallas_bounce (which amortizes over (K, B) tiles).
 MAX_SUB_SPHERES = 64
 
+# Depth-fused route (one launch for the whole bounce chain, state in
+# VMEM): depth is Python-unrolled in-kernel, so bound BOTH the depth and
+# the unrolled sphere-eval count (spheres x depth) to keep compile size
+# sane; beyond either, the per-bounce scan below takes over.
+MAX_FUSE_DEPTH_HARD = 6
+_MAX_FUSE_SPHERE_EVALS = 256
+
 _SUBLANES = 8
 
 
@@ -169,26 +176,21 @@ def _sweep_loops(o, d, geom_ref, s_cheap, s_total, faraway, dtype, update):
     return carry
 
 
-def _bounce_kernel_sub(
-    o_ref, d_ref, thr_ref, alive_ref, acc_ref,
+def _bounce_math(
+    o, d, thr, alive,
     geom_ref, mat_ref, const_ref,
-    *xi_and_outs,
+    *,
     faraway: float, s_cheap: int, s_total: int, parts: str,
-    stochastic: bool = False, tex_hw: tuple | None = None,
+    tex_hw: tuple | None, xi,
 ):
-    if stochastic:
-        xi_ref, *outs = xi_and_outs
-    else:
-        xi_ref = None
-        outs = list(xi_and_outs)
-    if tex_hw is not None:
-        *outs, flat_out, dww_out = outs
-    o_out, d_out, thr_out, alive_out, acc_out = outs
-    dtype = o_ref.dtype
-    o = (o_ref[0], o_ref[1], o_ref[2])  # (8, B) each
-    d = (d_ref[0], d_ref[1], d_ref[2])
-    thr = thr_ref[:, :]
-    alive = alive_ref[:, :]
+    """One hard bounce on an (8, B) ray tile — pure tile math, no ref IO.
+
+    Shared by the per-bounce kernel and the depth-fused kernel (which
+    loops it with the state in VMEM).  Returns
+    ``(acc_add, o_next, d_next, thr_next, alive_next, flat, dww)`` —
+    flat/dww are None without an atlas.
+    """
+    dtype = o[0].dtype
     shape = o[0].shape
 
     # --- nearest-hit sweep: scalar sphere loop, lowest index wins ties ---
@@ -207,16 +209,10 @@ def _bounce_kernel_sub(
     t_safe = jnp.where(hit > 0, tmin, jnp.ones_like(tmin))
 
     if parts == "sweep":
-        for i in range(3):
-            acc_out[i] = acc_ref[i] + tmin * coverage  # consume the sweep
-            o_out[i] = o[i]
-            d_out[i] = d[i]
-        thr_out[:, :] = thr
-        alive_out[:, :] = alive * hit
-        if tex_hw is not None:
-            flat_out[:, :] = jnp.zeros(shape, jnp.int32)
-            dww_out[:, :] = jnp.zeros(shape, dtype)
-        return
+        flat = jnp.zeros(shape, jnp.int32) if tex_hw is not None else None
+        dww = jnp.zeros(shape, dtype) if tex_hw is not None else None
+        acc_add = tuple(tmin * coverage for _ in range(3))  # consume the sweep
+        return acc_add, o, d, thr, alive * hit, flat, dww
 
     # --- material select: per-sphere broadcast select of needed columns ---
     mcols = (_CX, _CY, _CZ, _RAD, _DG, _DCR, _DCG, _DCB, _SG, _ROUGH, _IG, _IOR, _TFW, _TFT, _TFI, _KIND)
@@ -294,13 +290,16 @@ def _bounce_kernel_sub(
         tw_l = m(_TEXW)
         ti = jnp.clip((u * (tw_l - 1.0)).astype(jnp.int32), 0, (tw_l - 1.0).astype(jnp.int32))
         tj = jnp.clip((v * (th_l - 1.0)).astype(jnp.int32), 0, (th_l - 1.0).astype(jnp.int32))
-        flat = m(_TID).astype(jnp.int32) * (th_pad * tw_pad) + tj * tw_pad + ti
-        flat_out[:, :] = jnp.where(is_image, flat, 0)
+        flat_raw = m(_TID).astype(jnp.int32) * (th_pad * tw_pad) + tj * tw_pad + ti
+        flat = jnp.where(is_image, flat_raw, 0)
         tex = tuple(jnp.where(is_image, jnp.zeros_like(t), t) for t in tex)
+    else:
+        flat = None
 
     diffuse_w = n_dot_l * in_light * m(_DG)
+    dww = None
     if tex_hw is not None:
-        dww_out[:, :] = jnp.where(is_image, diffuse_w * thr * coverage, jnp.zeros(shape, dtype))
+        dww = jnp.where(is_image, diffuse_w * thr * coverage, jnp.zeros(shape, dtype))
 
     dome_up = jnp.maximum(normal[1], 0.0) * const(9)
     dome = (const(6) * dome_up, const(7) * dome_up, const(8) * dome_up)
@@ -351,13 +350,12 @@ def _bounce_kernel_sub(
     ddn = 2.0 * _dot3(d, normal)
     refl = _normalize3(tuple(d[i] - normal[i] * ddn for i in range(3)))
 
-    if stochastic:
+    if xi is not None:
         # Glossy continuation: reflect about a GGX-sampled microfacet
         # (ops/vecmath.ggx_perturb_reflect, term-for-term).  xi comes from
         # the host-side PRNG so renders replay bit-identically to the XLA
         # stochastic path for the same seed.
-        xi1 = xi_ref[0]
-        xi2 = xi_ref[1]
+        xi1, xi2 = xi
         alpha_s = m(_ROUGH) ** 2
         tan2 = (alpha_s**2) * xi1 / jnp.maximum(1.0 - xi1, 1e-8)
         cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
@@ -377,12 +375,86 @@ def _bounce_kernel_sub(
         above = _dot3(r, normal) > 0
         refl = tuple(jnp.where(above, r[i], refl[i]) for i in range(3))
 
+    acc_add = tuple(color[i] * w for i in range(3))
+    return acc_add, p_n, refl, thr_next, alive_next, flat, dww
+
+
+def _bounce_kernel_sub(
+    o_ref, d_ref, thr_ref, alive_ref, acc_ref,
+    geom_ref, mat_ref, const_ref,
+    *xi_and_outs,
+    faraway: float, s_cheap: int, s_total: int, parts: str,
+    stochastic: bool = False, tex_hw: tuple | None = None,
+):
+    if stochastic:
+        xi_ref, *outs = xi_and_outs
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+        outs = list(xi_and_outs)
+    if tex_hw is not None:
+        *outs, flat_out, dww_out = outs
+    o_out, d_out, thr_out, alive_out, acc_out = outs
+    o = (o_ref[0], o_ref[1], o_ref[2])  # (8, B) each
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    acc_add, o_n, d_n, thr_n, alive_n, flat, dww = _bounce_math(
+        o, d, thr_ref[:, :], alive_ref[:, :], geom_ref, mat_ref, const_ref,
+        faraway=faraway, s_cheap=s_cheap, s_total=s_total, parts=parts,
+        tex_hw=tex_hw, xi=xi,
+    )
     for i in range(3):
-        acc_out[i] = acc_ref[i] + color[i] * w
-        o_out[i] = p_n[i]
-        d_out[i] = refl[i]
-    thr_out[:, :] = thr_next
-    alive_out[:, :] = alive_next
+        acc_out[i] = acc_ref[i] + acc_add[i]
+        o_out[i] = o_n[i]
+        d_out[i] = d_n[i]
+    thr_out[:, :] = thr_n
+    alive_out[:, :] = alive_n
+    if tex_hw is not None:
+        flat_out[:, :] = flat
+        dww_out[:, :] = dww
+
+
+def _trace_kernel_sub_deep(
+    o_ref, d_ref, geom_ref, mat_ref, const_ref,
+    *xi_and_outs,
+    faraway: float, s_cheap: int, s_total: int,
+    stochastic: bool = False, tex_hw: tuple | None = None, depth: int,
+):
+    """Depth-fused hard trace: the whole bounce chain in ONE launch.
+
+    Forward-only (no residuals at all): the ray state stays in VMEM
+    across bounces; only acc (and per-depth flat/dww for atlas scenes)
+    leaves the kernel.  Same per-bounce math (`_bounce_math`) as the
+    scan route.
+    """
+    if stochastic:
+        xi_ref, *outs = xi_and_outs  # (2*depth, 8, B)
+    else:
+        outs = list(xi_and_outs)
+    if tex_hw is not None:
+        acc_out, flat_out, dww_out = outs
+    else:
+        (acc_out,) = outs
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    dtype = o[0].dtype
+    shape = o[0].shape
+    thr = jnp.ones(shape, dtype)
+    alive = jnp.ones(shape, dtype)
+    acc = [jnp.zeros(shape, dtype) for _ in range(3)]
+    for dep in range(depth):
+        xi = (xi_ref[2 * dep], xi_ref[2 * dep + 1]) if stochastic else None
+        acc_add, o, d, thr, alive, flat, dww = _bounce_math(
+            o, d, thr, alive, geom_ref, mat_ref, const_ref,
+            faraway=faraway, s_cheap=s_cheap, s_total=s_total, parts="full",
+            tex_hw=tex_hw, xi=xi,
+        )
+        for i in range(3):
+            acc[i] = acc[i] + acc_add[i]
+        if tex_hw is not None:
+            flat_out[dep] = flat
+            dww_out[dep] = dww
+    for i in range(3):
+        acc_out[i] = acc[i]
 
 
 def _geometry_table(scene: Scene, dtype) -> jax.Array:
@@ -447,6 +519,69 @@ def trace_fused_sub(
     texels = jnp.asarray(atlas, dtype).reshape(-1, 3) if textured else None
 
     stochastic = key is not None and cfg.stochastic_roughness
+    vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    depth = cfg.max_depth
+    if (
+        parts == "full"
+        and 2 <= depth <= MAX_FUSE_DEPTH_HARD
+        and s_total * depth <= _MAX_FUSE_SPHERE_EVALS
+    ):
+        # Depth-fused route: the whole trace in ONE launch (state in
+        # VMEM, no inter-bounce HBM round trips, no residuals — this
+        # path is forward-only).
+        kernel_deep = functools.partial(
+            _trace_kernel_sub_deep,
+            faraway=cfg.faraway, s_cheap=s_cheap, s_total=s_total,
+            stochastic=stochastic, tex_hw=tex_hw, depth=depth,
+        )
+
+        def stk(rows, space=pltpu.VMEM):
+            return pl.BlockSpec((rows, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=space)
+
+        xi_in = ()
+        xi_spec = []
+        if stochastic:
+            # EXACT seed schedule of the scan path, drawn up front.
+            from .rng import fold_seed, uniform2
+
+            k = key
+            xis = []
+            for _ in range(depth):
+                k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
+                xi = uniform2(k_bounce, n, dtype)
+                if n_pad != n:
+                    xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+                xis.append(xi.T.reshape(2, _SUBLANES, m_cols))
+            xi_in = (jnp.concatenate(xis, axis=0),)
+            xi_spec = [stk(2 * depth)]
+        tex_specs_d = (stk(depth), stk(depth)) if textured else ()
+        tex_shapes_d = (
+            (
+                jax.ShapeDtypeStruct((depth, _SUBLANES, m_cols), jnp.int32),
+                jax.ShapeDtypeStruct((depth, _SUBLANES, m_cols), dtype),
+            )
+            if textured
+            else ()
+        )
+        outs = pl.pallas_call(
+            kernel_deep,
+            grid=(m_cols // b_cols,),
+            in_specs=[vec, vec, smem, smem, smem] + xi_spec,
+            out_specs=(vec,) + tex_specs_d,
+            out_shape=(jax.ShapeDtypeStruct((3, _SUBLANES, m_cols), dtype),) + tex_shapes_d,
+            interpret=cfg.pallas_interpret,
+        )(o3, d3, geom, mat, consts, *xi_in)
+        acc = outs[0]
+        if textured:
+            flats, dwws = outs[1], outs[2]
+            for dep in range(depth):
+                tex_c = jnp.moveaxis(jnp.take(texels, flats[dep], axis=0), -1, 0)
+                acc = acc + tex_c * dwws[dep][None]
+        return acc.reshape(3, n_pad).T[:n]
+
     kernel = functools.partial(
         _bounce_kernel_sub,
         faraway=cfg.faraway,
@@ -456,9 +591,6 @@ def trace_fused_sub(
         stochastic=stochastic,
         tex_hw=tex_hw,
     )
-    vec = pl.BlockSpec((3, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    lane = pl.BlockSpec((_SUBLANES, b_cols), lambda i: (0, i), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     xi_spec = [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)] if stochastic else []
     tex_specs = (lane, lane) if textured else ()
     tex_shapes = (

@@ -209,3 +209,21 @@ def test_rays_inside_spheres_parity():
     np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(ref.hit))
     np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t), rtol=1e-4, atol=1e-5)
+
+
+def test_hard_depth_fused_matches_scan(monkeypatch):
+    """The depth-fused hard trace (whole bounce chain in one launch) is
+    BITWISE the per-bounce scan route: same _bounce_math per bounce, only
+    the launch structure and state residency change.  Deterministic and
+    stochastic continuations."""
+    import python_ray_tracer_tpu.ops.pallas_bounce_sub as pbs
+
+    scene = reference_scene(64, 36, dtype=jnp.float32)
+    for extra in ({}, {"stochastic_roughness": True, "rng_seed": 4}):
+        cfg = RenderConfig(max_depth=3, dtype=jnp.float32, use_pallas=True,
+                           pallas_interpret=True, block_rays=1024, **extra)
+        out = {}
+        for mode, cap in (("deep", pbs.MAX_FUSE_DEPTH_HARD), ("scan", 0)):
+            monkeypatch.setattr(pbs, "MAX_FUSE_DEPTH_HARD", cap)
+            out[mode] = np.asarray(render(scene, cfg))
+        np.testing.assert_array_equal(out["deep"], out["scan"], err_msg=str(extra))
