@@ -363,6 +363,41 @@ def _coverage_at(
     return cover
 
 
+def _smooth_winner_cover_parts(parts, near, sphere_axis, sphere_offset, sharpness):
+    """Winner index + soft coverage from per-shard SmoothParts.
+
+    The kernel analog of :func:`_smooth_winner_idx` + :func:`_coverage_at`
+    on reduced per-shard quantities: the max-discriminant fallback winner
+    combines with a pmax/pmin selector pass (stop_gradient — selectors
+    carry no gradient), and the winner's coverage inputs ``(sol, disc)``
+    psum from the owning shard (exact: per-shard global index ranges are
+    disjoint, so exactly one shard matches), keeping the gradient flowing
+    into that shard's kernel VJP.  Sigmoids evaluate after the collective
+    — the operand is bitwise the owner's value, so this equals the XLA
+    path's select-after-sigmoid up to roundoff.
+    """
+    gidx_l = parts.idx + sphere_offset
+    gfidx_l = parts.fidx + sphere_offset
+    dmax_sg = jax.lax.optimization_barrier(jax.lax.stop_gradient(parts.dmax))
+    dmax = jax.lax.pmax(dmax_sg, sphere_axis)
+    cand = jnp.where(dmax_sg == dmax, gfidx_l, jnp.iinfo(jnp.int32).max)
+    fidx = jax.lax.pmin(cand, sphere_axis)
+    idx = jnp.where(near.hit, near.idx, fidx)
+
+    owns_hit = gidx_l == idx
+    owns_f = gfidx_l == idx
+    zero = jnp.zeros_like(parts.sol_w)
+    sol = jnp.where(
+        near.hit, jnp.where(owns_hit, parts.sol_w, zero), jnp.where(owns_f, parts.sol_f, zero)
+    )
+    disc = jnp.where(
+        near.hit, jnp.where(owns_hit, parts.disc_w, zero), jnp.where(owns_f, parts.dmax, zero)
+    )
+    sol = jax.lax.psum(sol, sphere_axis)
+    disc = jax.lax.psum(disc, sphere_axis)
+    return idx, _soft_cover(sol, disc, sharpness)
+
+
 def trace(
     origin: jax.Array,  # (N, 3) or (3,)
     direction: jax.Array,  # (N, 3) unit
@@ -447,6 +482,13 @@ def trace(
     stochastic = cfg.stochastic_roughness and key is not None
     # Double-shade exact nearest-hit ties (ref base.py:103,119 semantics).
     tie_sum = cfg.tie_mode == "sum" and not smooth and not fused
+    # Sphere-sharded SMOOTH sweeps through per-shard partial kernels: the
+    # XLA fallback materializes (N, S_local) tables per bounce; the
+    # kernels reduce in-kernel (O(N + S) HBM) and the collectives below
+    # finish — the smooth analog of the fused-hard shard path.
+    sm_parts = smooth and sphere_axis is not None and cfg.use_pallas
+    if sm_parts:
+        from .ops.pallas_smooth_parts import smooth_clear_parts_pallas, smooth_nearest_parts_pallas
     # Sphere-sharded two-tier split: the global exact suffix covers
     # different LOCAL rows on each shard, which the static per-shard
     # n_exact count cannot express (see _sweep).  Build the global-index
@@ -497,6 +539,23 @@ def trace(
                 near = _combine_nearest_reduced(
                     near_l.t, near_l.idx + sphere_offset, cfg.faraway, sphere_axis
                 )
+        elif sm_parts:
+            res = None
+            parts = smooth_nearest_parts_pallas(
+                _sphere_varying(o),
+                _sphere_varying(d),
+                sweep_center,
+                sweep_radius,
+                cfg.faraway,
+                n_exact=scene.spheres.n_exact,
+                block_rays=cfg.block_rays,
+                block_spheres=cfg.block_spheres,
+                interpret=cfg.pallas_interpret,
+                vma=kvma or None,
+            )
+            near = _combine_nearest_reduced(
+                parts.t, parts.idx + sphere_offset, cfg.faraway, sphere_axis
+            )
         else:
             res = _sweep(
                 o, d, sweep_center, sweep_radius, cfg,
@@ -507,8 +566,14 @@ def trace(
             near = _combine_nearest(res.t, cfg.faraway, sphere_axis, sphere_offset)
 
         if smooth:
-            idx = _smooth_winner_idx(res, near, sphere_axis, sphere_offset)
-            coverage = _coverage_at(res, idx, cfg.edge_sharpness, sphere_axis, sphere_offset) * alive
+            if sm_parts:
+                idx, cover = _smooth_winner_cover_parts(
+                    parts, near, sphere_axis, sphere_offset, cfg.edge_sharpness
+                )
+                coverage = cover * alive
+            else:
+                idx = _smooth_winner_idx(res, near, sphere_axis, sphere_offset)
+                coverage = _coverage_at(res, idx, cfg.edge_sharpness, sphere_axis, sphere_offset) * alive
         else:
             idx = near.idx
             coverage = near.hit.astype(dtype) * alive
@@ -561,6 +626,25 @@ def trace(
                 t_others = jax.lax.pmin(t_others_l, sphere_axis)
                 t_self = jax.lax.pmin(t_self_l, sphere_axis)
                 in_light = (t_self <= t_others).astype(dtype)
+        elif sm_parts:
+            clear_l = smooth_clear_parts_pallas(
+                _sphere_varying(p_nudged),
+                _sphere_varying(to_light),
+                sweep_center,
+                sweep_radius,
+                idx - sphere_offset,  # local index within this shard
+                cfg.faraway,
+                cfg.shadow_sharpness,
+                n_exact=scene.spheres.n_exact,
+                block_rays=cfg.block_rays,
+                block_spheres=cfg.block_spheres,
+                interpret=cfg.pallas_interpret,
+                vma=kvma or None,
+            )
+            # Same collective form as _shadow_smooth: differentiable
+            # all_gather product, then exact re-invariance.
+            clear = jnp.prod(jax.lax.all_gather(clear_l, sphere_axis), axis=0)
+            in_light = _invariant(clear, sphere_axis).astype(dtype)
         else:
             shadow_res = _sweep(
                 p_nudged, to_light, sweep_center, sweep_radius, cfg,
@@ -646,10 +730,15 @@ def trace(
     )
     if stochastic:
         init = init + (key,)
-    if ray_axis is not None:
+    if ray_axis is not None and ray_axis in vma_dir:
         # Inside shard_map the scan carry becomes varying over the ray axis
         # on the first iteration; mark the init likewise so the carry types
-        # are invariant (required by the VMA checker).
+        # are invariant (required by the VMA checker).  When the checker is
+        # OFF (check_vma=False, interpret-mode CI — detectable as the
+        # sharded direction operand carrying no vma) the pcast is a no-op
+        # whose TRANSPOSE is a psum that then fails the vma type check, so
+        # it must be skipped entirely — this is what let interpret-mode
+        # sharded gradients run at all.
         def to_varying(x: jax.Array) -> jax.Array:
             if ray_axis in getattr(jax.typeof(x), "vma", frozenset()):
                 return x

@@ -119,3 +119,38 @@ def test_culled_kernels_inside_ray_sharding():
     diff = np.abs(got - exp)
     assert np.quantile(diff, 0.999) < 2e-3
     assert (diff > 1e-2).mean() < 1e-3
+
+
+def test_smooth_parts_sphere_sharding():
+    """SMOOTH visibility under SPHERE sharding through the per-shard
+    partial kernels (ops/pallas_smooth_parts): the per-shard in-kernel
+    reductions + collective combines replace the (N, S_local) XLA tables.
+    Forward parity and gradients vs the single-device XLA smooth path,
+    on (rays x spheres) meshes, deterministic and stochastic."""
+    from python_ray_tracer_tpu.models.scenes import inverse_task_scene
+
+    scene = inverse_task_scene(n_spheres=24, width=48, height=27)
+    for extra in ({}, {"stochastic_roughness": True, "rng_seed": 6}):
+        cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth", **extra)
+        cfg_k = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                             use_pallas=True, pallas_interpret=True, block_rays=512, **extra)
+        exp = np.asarray(jax.jit(render, static_argnums=1)(scene, cfg_x))
+        for shape in ((1, 2), (2, 4)):
+            mesh = make_mesh(*shape)
+            got = np.asarray(jax.jit(render_sharded, static_argnums=(1, 2))(scene, cfg_k, mesh))
+            diff = np.abs(got - exp)
+            assert np.quantile(diff, 0.999) < 2e-4, (extra, shape)
+            assert (diff > 1e-2).mean() < 1e-3, (extra, shape)
+
+    cfg_x = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth")
+    cfg_k = RenderConfig(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                         use_pallas=True, pallas_interpret=True, block_rays=512)
+    target = jnp.clip(jnp.asarray(render(scene, cfg_x)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    mesh = make_mesh(2, 4)
+    g_k = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_k, mesh)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_k[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
