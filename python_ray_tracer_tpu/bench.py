@@ -56,8 +56,10 @@ def main(
     from .optim import make_loss_fn, scene_to_params
     from .render import render
 
-    # use_pallas routes through the fused fwd+bwd bounce kernels (custom
-    # VJP) — the whole training step is a handful of kernel launches.
+    # use_pallas + the packaged L2 loss route through the single-launch
+    # fused TRAIN kernel (loss cotangent formed in-kernel, adjoint chained
+    # without replay or residual HBM round trips) — the whole
+    # value-and-grad is ONE kernel launch per step (docs/PERF.md round 4).
     cfg = RenderConfig(
         max_depth=depth, dtype=jnp.float32, visibility="smooth", use_pallas=True, block_rays=block_rays
     )

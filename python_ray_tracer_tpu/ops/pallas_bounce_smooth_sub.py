@@ -1553,3 +1553,294 @@ def trace_fused_smooth_sub(
     final, _ = jax.lax.scan(bounce, init, None, length=cfg.max_depth)
     acc = final[4]
     return acc.reshape(3, n_pad).T[:n]
+
+
+# ---------------------------------------------------------------------------
+# Fused TRAIN-STEP kernel: loss + ALL gradients in ONE launch.
+#
+# The deep fwd/bwd pair still pays (a) the per-depth residual round trip
+# through HBM (~28 tile channels written by fwd, re-read by bwd), (b) a
+# full forward REPLAY inside the backward kernel, and (c) ~0.2 ms of
+# loss/launch glue between the two launches (docs/PERF.md attribution,
+# 2026-08-19).  But the training loss is ELEMENTWISE in the image (L2 on
+# the clipped pixels, optim/train.py:l2_image_loss) — so its cotangent is
+# computable per ray lane *inside* the kernel.  This kernel runs the whole
+# forward chain, forms the loss cotangent against the packed target, and
+# runs the adjoint chain in reverse — per-bounce intermediates never leave
+# the core (TRAIN_SAVE_MODE="live": every _FwdSub stays live across the
+# fwd->bwd boundary, Mosaic spills to VMEM as needed; "replay" keeps only
+# (o, d, thr, alive, idx, hit, clear) per bounce and re-derives the rest,
+# bounding the live set).  The SSE reduces into one SMEM scalar.
+#
+# The wrapper is a custom_vjp whose PRIMAL already computed every
+# gradient: the backward pass is a scalar multiply of the stashed tables —
+# zero additional kernel launches per training step.
+# ---------------------------------------------------------------------------
+
+# "live" keeps all forward intermediates live across the fwd->bwd
+# boundary (no replay ops; Mosaic spills to VMEM); "replay" re-derives
+# them from (idx, hit, clear) like the two-launch pair (smaller live set).
+TRAIN_SAVE_MODE = "live"
+
+
+def _clip_gate(x, lo, hi):
+    """d/dx of jnp.clip(x, lo, hi), matching JAX's tie convention exactly:
+    min/max gradients split 0.5 at exact boundary hits."""
+    dt = x.dtype
+    g_lo = 0.5 * ((x >= lo).astype(dt) + (x > lo).astype(dt))
+    y = jnp.maximum(x, lo)
+    g_hi = 0.5 * ((y <= hi).astype(dt) + (y < hi).astype(dt))
+    return g_lo * g_hi
+
+
+def _train_kernel_sub_deep(*refs, params, depth, live):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked) = params
+    (o_ref, d_ref, tgt_ref, mask_ref, geom_ref, mat_ref, const_ref, *rest) = refs
+    if stoch:
+        xi_ref, *rest = rest
+    (loss_ref, go_ref, gd_ref, ggeom_ref, gmat_ref, gconst_ref) = rest
+
+    o = (o_ref[0], o_ref[1], o_ref[2])
+    d = (d_ref[0], d_ref[1], d_ref[2])
+    dtype = o[0].dtype
+    shape = o[0].shape
+    thr = jnp.ones(shape, dtype)
+    alive = jnp.ones(shape, dtype)
+    acc = [jnp.zeros(shape, dtype) for _ in range(3)]
+    saved = []
+    o_in, d_in = o, d
+    for dep in range(depth):
+        xi = (xi_ref[2 * dep], xi_ref[2 * dep + 1]) if stoch else None
+        f = _FwdSub(o, d, thr, alive, (geom_ref, mat_ref, const_ref), params, xi=xi)
+        for i in range(3):
+            acc[i] = acc[i] + f.color[i] * f.w
+        if live:
+            saved.append((f, o, d))
+        else:
+            saved.append((o, d, thr, alive, (f.idx, f.hit, f.clear), xi))
+        o, d, thr, alive = f.p_n, f.dout, f.thr_out, f.alive_out
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        _zero_table_grads(ggeom_ref, gmat_ref, gconst_ref, blocked, s_total)
+        loss_ref[0, 0] = jnp.zeros((), dtype)
+
+    # Loss cotangent in-kernel: sse = sum(mask * (clip(acc) - tgt)^2);
+    # g_acc = 2 * mask * (clip(acc) - tgt) * clip'(acc).  The 1/(N*3) mean
+    # scale (and the upstream loss cotangent) applies OUTSIDE via the
+    # custom_vjp's scalar multiply.
+    mask = mask_ref[:, :]
+    sse = jnp.zeros(shape, dtype)
+    g_acc_l = []
+    for i in range(3):
+        e = (jnp.clip(acc[i], 0.0, 1.0) - tgt_ref[i]) * mask
+        sse = sse + e * e
+        g_acc_l.append(2.0 * e * _clip_gate(acc[i], 0.0, 1.0))
+    loss_ref[0, 0] += jnp.sum(sse)
+    g_acc = tuple(g_acc_l)
+
+    # Reverse adjoint chain, lane cotangents staying in registers.  The
+    # final bounce's (o, d, thr, alive) outputs are discarded by the loss:
+    # their cotangents start at zero.
+    zero = jnp.zeros(shape, dtype)
+    g_o = (zero, zero, zero)
+    g_d = (zero, zero, zero)
+    g_thr = zero
+    g_alive = zero
+    for dep in reversed(range(depth)):
+        if live:
+            f, o, d = saved[dep]
+        else:
+            o, d, thr, alive, svd, xi = saved[dep]
+            f = _FwdSub(
+                o, d, thr, alive, (geom_ref, mat_ref, const_ref), params,
+                saved=svd, xi=xi,
+            )
+        cots = (g_o, g_d, g_thr, g_alive, g_acc, None)
+        g_o, g_d, g_thr, g_alive = _adjoint_bounce(
+            f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, params
+        )
+    for i in range(3):
+        go_ref[i] = g_o[i]
+        gd_ref[i] = g_d[i]
+
+
+def _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts, xi_all=None):
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+     block_rays, interpret, vma, depth, live) = params
+    m_cols = d3.shape[2]
+    lane, vec, smem = _specs_sub(block_rays)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.VMEM) if blocked else smem
+    geom_acc = _vmem_acc_spec(geom.shape) if blocked else _smem_acc_spec(geom.shape)
+    mat_acc = _vmem_acc_spec(mat.shape) if blocked else _smem_acc_spec(mat.shape)
+    geom_in = geom.T if blocked else geom
+    kernel = functools.partial(
+        _train_kernel_sub_deep,
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        depth=depth,
+        live=live,
+    )
+    dtype = d3.dtype
+    b_cols = block_rays // _SUBLANES
+
+    def stk(rows):
+        return pl.BlockSpec((rows, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    xi_spec = [stk(2 * depth)] if stoch else []
+    xi_in = (xi_all,) if stoch else ()
+    return pl.pallas_call(
+        kernel,
+        grid=(m_cols // b_cols,),
+        in_specs=[vec, vec, vec, lane, smem, mat_spec, smem] + xi_spec,
+        out_specs=(
+            _smem_acc_spec((1, 1)),
+            vec, vec,
+            geom_acc, mat_acc, _smem_acc_spec(consts.shape),
+        ),
+        out_shape=(
+            _sds((1, 1), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds((3, _SUBLANES, m_cols), dtype, vma),
+            _sds(geom.shape, dtype, vma),
+            _sds(mat.shape, dtype, vma),
+            _sds(consts.shape, dtype, vma),
+        ),
+        interpret=interpret,
+    )(o3, d3, tgt3, mask, geom_in, mat, consts, *xi_in)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _train_loss_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts):
+    outs = _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts)
+    return outs[0][0, 0]
+
+
+def _train_loss_sub_deep_vjp_fwd(params, o3, d3, tgt3, mask, geom, mat, consts):
+    outs = _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts)
+    # The primal already computed every gradient: stash them; bwd is a
+    # scalar multiply (zero extra kernel launches).
+    return outs[0][0, 0], (outs[1:], tgt3, mask)
+
+
+def _train_loss_sub_deep_vjp_bwd(params, res, g):
+    (go, gd, ggeom, gmat, gconsts), tgt3, mask = res
+    return (g * go, g * gd, jnp.zeros_like(tgt3), jnp.zeros_like(mask),
+            g * ggeom, g * gmat, g * gconsts)
+
+
+_train_loss_sub_deep.defvjp(_train_loss_sub_deep_vjp_fwd, _train_loss_sub_deep_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _train_loss_sub_deep_stoch(params, o3, d3, tgt3, mask, xi_all, geom, mat, consts):
+    outs = _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts, xi_all=xi_all)
+    return outs[0][0, 0]
+
+
+def _train_loss_sub_deep_stoch_vjp_fwd(params, o3, d3, tgt3, mask, xi_all, geom, mat, consts):
+    outs = _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts, xi_all=xi_all)
+    return outs[0][0, 0], (outs[1:], tgt3, mask, xi_all)
+
+
+def _train_loss_sub_deep_stoch_vjp_bwd(params, res, g):
+    (go, gd, ggeom, gmat, gconsts), tgt3, mask, xi_all = res
+    return (g * go, g * gd, jnp.zeros_like(tgt3), jnp.zeros_like(mask),
+            jnp.zeros_like(xi_all), g * ggeom, g * gmat, g * gconsts)
+
+
+_train_loss_sub_deep_stoch.defvjp(_train_loss_sub_deep_stoch_vjp_fwd, _train_loss_sub_deep_stoch_vjp_bwd)
+
+
+def fused_train_l2(
+    origin: jax.Array,  # camera position (3,)
+    direction: jax.Array,  # (N, 3) unit — or (3, N) with transposed=True
+    target: jax.Array,  # (N, 3) clipped target colors
+    scene: Scene,
+    cfg,  # RenderConfig
+    transposed: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """L2 pixel loss (mean over N*3 values of the CLIPPED render vs target)
+    through the single-launch fused train kernel.
+
+    Equals ``l2_image_loss(render(scene, cfg), target)`` up to float
+    reduction order, with gradients identical to ``jax.grad`` of the
+    two-launch route (tests/test_fused_smooth.py) — but the whole
+    value-and-grad is ONE kernel launch.
+    """
+    from .pallas_bounce import _ray_state_t
+
+    dtype = cfg.dtype
+    block = max(cfg.block_rays, _SUBLANES * 128)
+    if block % _SUBLANES:
+        raise ValueError(f"block_rays must be a multiple of {_SUBLANES}")
+    o_t, d_t, n = _ray_state_t(origin, direction, cfg, transposed)
+    if scene.spheres.count > MAX_SUB_SPHERES_SMOOTH:
+        block = max(block, min(_BLK_MIN_BLOCK_RAYS, _round_up(n, _SUBLANES * 128)))
+    n_pad = _round_up(d_t.shape[1], block)
+    if n_pad != d_t.shape[1]:
+        extra = n_pad - d_t.shape[1]
+        o_t = jnp.concatenate([o_t, jnp.broadcast_to(o_t[:, :1], (3, extra))], axis=1)
+        d_t = jnp.concatenate([d_t, jnp.broadcast_to(d_t[:, :1], (3, extra))], axis=1)
+    m_cols = n_pad // _SUBLANES
+
+    o_arr = jnp.asarray(origin, dtype)
+    if o_arr.size == 3:
+        # Tile-shaped origin broadcast (docs/PERF.md: keeps the
+        # origin-cotangent reduce on the minor axes).
+        o3 = jnp.broadcast_to(o_arr.reshape(3, 1, 1), (3, _SUBLANES, m_cols))
+    else:
+        o3 = o_t.reshape(3, _SUBLANES, m_cols)
+    d3 = d_t.reshape(3, _SUBLANES, m_cols)
+
+    # Target + padding mask in the same (3, 8, M) packing as the rays.
+    tgt_t = jnp.asarray(target, dtype).reshape(n, 3).T
+    if n_pad != n:
+        tgt_t = jnp.concatenate([tgt_t, jnp.zeros((3, n_pad - n), dtype)], axis=1)
+    tgt3 = tgt_t.reshape(3, _SUBLANES, m_cols)
+    mask = (jnp.arange(n_pad, dtype=jnp.int32) < n).astype(dtype).reshape(_SUBLANES, m_cols)
+
+    s_total = scene.spheres.count
+    s_cheap = s_total - scene.spheres.n_exact
+    blocked = s_total > MAX_SUB_SPHERES_SMOOTH
+    geom = _geometry_table(scene, dtype)
+    if blocked:
+        tbl = _material_table(scene, dtype)
+        s_pad = _round_up(s_total, 128)
+        if tbl.shape[0] < s_pad:
+            pad = jnp.zeros((s_pad - tbl.shape[0], _COLS), dtype).at[:, _RAD].set(1.0)
+            tbl = jnp.concatenate([tbl, pad], axis=0)
+        mat = tbl[:s_pad].T
+    else:
+        mat = _material_table(scene, dtype)[:s_total]
+    consts = _consts_row(scene, dtype)
+
+    stochastic = key is not None and cfg.stochastic_roughness
+    if not (2 <= cfg.max_depth <= MAX_FUSE_DEPTH):
+        raise ValueError("fused_train_l2 requires 2 <= max_depth <= MAX_FUSE_DEPTH")
+    params = (
+        cfg.faraway, s_cheap, s_total,
+        float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
+        None, stochastic, blocked,
+        block, cfg.pallas_interpret, None,
+        cfg.max_depth, TRAIN_SAVE_MODE == "live",
+    )
+    if stochastic:
+        # EXACT seed schedule of the scan/deep paths.
+        from .rng import fold_seed, uniform2
+
+        k = key
+        xis = []
+        for _ in range(cfg.max_depth):
+            k, k_bounce = fold_seed(k, 1), fold_seed(k, 2)
+            xi = uniform2(k_bounce, n, dtype)
+            if n_pad != n:
+                xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+            xis.append(xi.T.reshape(2, _SUBLANES, m_cols))
+        xi_all = jnp.concatenate(xis, axis=0)
+        sse = _train_loss_sub_deep_stoch(params, o3, d3, tgt3, mask, xi_all, geom, mat, consts)
+    else:
+        sse = _train_loss_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts)
+    return sse / (n * 3)

@@ -49,6 +49,13 @@ def make_loss_fn(
     def loss_fn(params: Params) -> jax.Array:
         scene = combine(params, template)
         if mesh is None:
+            from ..render import fused_train_l2_ok, l2_loss_fused
+
+            if fused_train_l2_ok(scene, cfg):
+                # Single-launch fused train step: loss + every gradient in
+                # ONE kernel (custom_vjp whose backward is a scalar
+                # multiply) — see docs/PERF.md round-4 headline.
+                return l2_loss_fused(scene, jnp.asarray(target, cfg.dtype), cfg)
             image = render(scene, cfg)
         else:
             from ..parallel.sharded import render_sharded

@@ -888,6 +888,53 @@ def _render_sample(scene: Scene, cfg: RenderConfig, jitter: jax.Array | None, ke
     return color
 
 
+def fused_train_l2_ok(scene: Scene, cfg: RenderConfig) -> bool:
+    """Is the single-launch fused train-step kernel applicable?
+
+    Scope of :func:`l2_loss_fused`: smooth visibility through the sublane
+    kernels (unrolled or blocked), const/checker textures, one center ray
+    per pixel, depth inside the in-kernel unroll cap.  Everything else
+    keeps the two-launch custom-VJP route.
+    """
+    from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH, MAX_FUSE_DEPTH
+
+    atlas = scene.texture_atlas
+    atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
+    return (
+        cfg.use_pallas
+        and cfg.visibility == VISIBILITY_SMOOTH
+        and 2 <= cfg.max_depth <= MAX_FUSE_DEPTH
+        and cfg.samples_per_pixel == 1
+        and atlas_dummy
+        and scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
+        and not cfg.ray_chunk
+    )
+
+
+def l2_loss_fused(scene: Scene, target: jax.Array, cfg: RenderConfig) -> jax.Array:
+    """``l2_image_loss(render(scene, cfg), target)`` as ONE kernel launch.
+
+    The fused train kernel traces forward, forms the elementwise loss
+    cotangent against the packed target in-kernel, and runs the adjoint
+    chain in reverse — no residual HBM round trip, no forward replay, no
+    loss glue.  Callers gate on :func:`fused_train_l2_ok`.
+    """
+    from .camera import ray_directions_t
+    from .ops.pallas_bounce_smooth_sub import fused_train_l2
+
+    dirs_t = ray_directions_t(scene.camera, cfg.dtype, None)
+    key = None
+    if cfg.stochastic_roughness:
+        # EXACT seed schedule of render()'s sample loop at spp == 1, i = 0.
+        from .ops.rng import fold_seed, seed_root
+
+        key = fold_seed(fold_seed(seed_root(cfg.rng_seed), 0), 4)
+    tgt = jnp.asarray(target, cfg.dtype).reshape(-1, 3)
+    return fused_train_l2(
+        scene.camera.position, dirs_t, tgt, scene, cfg, transposed=True, key=key
+    )
+
+
 def render(scene: Scene, cfg: RenderConfig) -> jax.Array:
     """Render the scene to an (H, W, 3) float image (unclipped).
 

@@ -263,6 +263,63 @@ def test_stochastic_smooth_gradient_parity():
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
+def test_fused_train_single_launch_matches_two_launch(tmp_path):
+    """The single-launch fused train kernel (loss cotangent formed
+    in-kernel, adjoint chained without replay or residual round trips) ==
+    the two-launch deep fwd/bwd pair, value AND gradients — in both save
+    modes (live intermediates vs replay-from-saved) and across the
+    unrolled, blocked, and stochastic modes.  Also pins the routing:
+    make_loss_fn engages the fused kernel exactly when fused_train_l2_ok
+    says so (atlas scenes must stay on the two-launch pair)."""
+    import python_ray_tracer_tpu.ops.pallas_bounce_smooth_sub as pbs
+    from python_ray_tracer_tpu.optim.params import combine
+    from python_ray_tracer_tpu.optim.train import l2_image_loss
+    from python_ray_tracer_tpu.render import fused_train_l2_ok
+
+    scenes = [
+        ("ref3", reference_scene(48, 27, dtype=jnp.float32), {}, ("live", "replay")),
+        ("blocked24", inverse_task_scene(n_spheres=24, width=32, height=18), {}, ("live", "replay")),
+        ("stoch", reference_scene(32, 18, dtype=jnp.float32),
+         {"stochastic_roughness": True, "rng_seed": 9}, ("live",)),
+    ]
+    orig_mode = pbs.TRAIN_SAVE_MODE
+    try:
+        for label, scene, extra, modes in scenes:
+            base = dict(max_depth=2, dtype=jnp.float32, visibility="smooth",
+                        edge_sharpness=20.0, shadow_sharpness=20.0, **extra)
+            cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=256)
+            assert fused_train_l2_ok(scene, cfg_p), label
+            target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+            params = scene_to_params(scene)
+
+            def manual_loss(p, scene=scene, cfg=cfg_p, target=target):
+                # Two-launch route, bypassing the fused-train routing.
+                return l2_image_loss(render(combine(p, scene), cfg), jnp.asarray(target, cfg.dtype))
+
+            v_ref, g_ref = jax.value_and_grad(manual_loss)(params)
+            for mode in modes:
+                pbs.TRAIN_SAVE_MODE = mode
+                v_f, g_f = jax.value_and_grad(make_loss_fn(scene, target, cfg_p))(params)
+                np.testing.assert_allclose(float(v_f), float(v_ref), rtol=1e-5,
+                                           err_msg=f"{label}:{mode}")
+                for key in g_ref:
+                    a, b = np.asarray(g_ref[key]), np.asarray(g_f[key])
+                    scale = max(np.abs(a).max(), 1e-6)
+                    # Same per-lane math; only the reduction ORDER of the
+                    # tile->scalar sums differs between the two routes.
+                    np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-4 * scale,
+                                               err_msg=f"{label}:{mode}:{key}")
+    finally:
+        pbs.TRAIN_SAVE_MODE = orig_mode
+
+    # Atlas scenes are out of the fused-train scope (the image-diffuse
+    # term composes OUTSIDE the kernel) and must keep the two-launch pair.
+    atlas_scene = _atlas_scene(tmp_path, 48, 27)
+    cfg_p = RenderConfig(max_depth=3, dtype=jnp.float32, visibility="smooth",
+                         use_pallas=True, pallas_interpret=True, block_rays=256)
+    assert not fused_train_l2_ok(atlas_scene, cfg_p)
+
+
 def test_depth_fused_matches_scan(monkeypatch, tmp_path):
     """The depth-fused kernels (one launch for the whole bounce chain,
     per-depth residuals) == the per-bounce scan formulation, forward and
