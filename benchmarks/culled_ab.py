@@ -98,11 +98,17 @@ def main() -> None:
 
     base_bg = pc._BOUND_G
 
+    base_fs = pc.FULL_SWEEP_FROM_BOUNCE
+
     def set_variant(v: str):
         pc._SORT_G, pc.MAT_GATHER_MODE, pc.CULL_BLOCK_RAYS = base_g, base_m, base_blk
         pc._BOUND_G = base_bg
+        pc.FULL_SWEEP_FROM_BOUNCE = base_fs
         if v == "base":
             pass
+        elif v.startswith("fullsweep"):
+            # fullsweepK: skip candidate builds from bounce K on
+            pc.FULL_SWEEP_FROM_BOUNCE = int(v[len("fullsweep"):])
         elif v == "bound32":
             pc._BOUND_G = 32
         elif v.startswith("tile"):

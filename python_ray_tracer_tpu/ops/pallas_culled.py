@@ -130,6 +130,19 @@ _BOUND_G = 64
 # work; benchmarks/cull_attrib.py A/Bs this on the chip.
 CULL_BLOCK_RAYS = 4 * _SUBLANES * 128
 
+# From this bounce index on, SKIP the candidate build (interval tests +
+# argsort + counts) and run full-table sweeps for live tiles — the
+# cnt_full overflow path the kernels already have.  The r3 CPU probe
+# measured bounce >= 2 candidate lists at essentially the whole table
+# (nearest 244k/258k candidate-tiles at bounces 2-3, docs/PERF.md), so
+# the build there buys nothing; the re-sort stays (it feeds the dead-ray
+# tile compaction).  On-chip A/B (benchmarks/culled_ab.py, 2026-08-20):
+# base 0.0718 / fullsweep1 0.0788 / fullsweep2 0.0652 / fullsweep3
+# 0.0686 s per config-4 frame — bounce 1 still culls (51k/187k
+# candidate-tiles), bounces 2+ don't.  2 is the measured optimum;
+# bitwise-identical images (tests/test_culled.py).
+FULL_SWEEP_FROM_BOUNCE: int | None = 2
+
 
 def _interval_prod(al, ah, bl, bh):
     p1, p2, p3, p4 = al * bl, al * bh, ah * bl, ah * bh
@@ -988,7 +1001,7 @@ def trace_fused_culled(
     bb_lo = jnp.min(center_cheap - radius_cheap[:, None], axis=0)
     bb_hi = jnp.max(center_cheap + radius_cheap[:, None], axis=0)
 
-    def bounce(carry, _, primary: bool):
+    def bounce(carry, _, primary: bool, full_sweep: bool = False):
         o3, d3, thr, alive, acc, pix = carry
         if primary:
             lane_valid = None
@@ -1044,11 +1057,21 @@ def trace_fused_culled(
             acc = s3[8:11]
             lane_valid = (thr * alive) > dead_thr  # (8, M)
         live = tile_live(thr)
-        cand_a, cnt_a, cnt_af = candidate_lists(
-            o3, d3, center_cheap, radius_cheap, b_cols, valid=lane_valid
-        )
-        cnt_a = jnp.where(live, cnt_a, 0)
-        cnt_af = jnp.where(live, cnt_af, 0)
+        if full_sweep:
+            # FULL_SWEEP_FROM_BOUNCE: live tiles take the kernels' proven
+            # overflow path (cnt_full) — no interval tests, no argsort.
+            t_tiles = m_cols // b_cols
+            cand_a = jnp.zeros((t_tiles, MAX_CAND), jnp.int32)
+            cnt_a = jnp.zeros((1, t_tiles), jnp.int32)
+            cnt_af = jnp.where(live, center_cheap.shape[0], 0)
+            if vma:
+                cand_a, cnt_a, cnt_af = (_to_varying(x) for x in (cand_a, cnt_a, cnt_af))
+        else:
+            cand_a, cnt_a, cnt_af = candidate_lists(
+                o3, d3, center_cheap, radius_cheap, b_cols, valid=lane_valid
+            )
+            cnt_a = jnp.where(live, cnt_a, 0)
+            cnt_af = jnp.where(live, cnt_af, 0)
         tmin, idx, p, normal = near_call(o3, d3, cand_a[:, None, :], cnt_a, cnt_af, geom_t)
 
         # XLA glue: hit point + normal come OUT of the kernel (winner
@@ -1070,12 +1093,20 @@ def trace_fused_culled(
         # Shadow bounds consider only lanes that HIT something AND carry
         # visible energy — miss/spent lanes' junk p_n would blow the box.
         shadow_valid = hit & (thr * alive > dead_thr)
-        cand_b, cnt_b, cnt_bf = candidate_lists(
-            p_n, to_light, center_cheap, radius_cheap, b_cols,
-            valid=shadow_valid, light=light,
-        )
-        cnt_b = jnp.where(live, cnt_b, 0)
-        cnt_bf = jnp.where(live, cnt_bf, 0)
+        if full_sweep:
+            t_tiles = m_cols // b_cols
+            cand_b = jnp.zeros((t_tiles, MAX_CAND), jnp.int32)
+            cnt_b = jnp.zeros((1, t_tiles), jnp.int32)
+            cnt_bf = jnp.where(live, center_cheap.shape[0], 0)
+            if vma:
+                cand_b, cnt_b, cnt_bf = (_to_varying(x) for x in (cand_b, cnt_b, cnt_bf))
+        else:
+            cand_b, cnt_b, cnt_bf = candidate_lists(
+                p_n, to_light, center_cheap, radius_cheap, b_cols,
+                valid=shadow_valid, light=light,
+            )
+            cnt_b = jnp.where(live, cnt_b, 0)
+            cnt_bf = jnp.where(live, cnt_bf, 0)
         out = shade_call(
             o3, d3, thr, alive, acc, tmin, idx, p_n, normal, to_light,
             matv, cand_b[:, None, :], cnt_b, cnt_bf, geom_t, consts,
@@ -1104,9 +1135,18 @@ def trace_fused_culled(
         init = tuple(_to_varying(x) for x in init)
     carry, _ = bounce(init, None, primary=True)
     if cfg.max_depth > 1:
-        carry, _ = jax.lax.scan(
-            functools.partial(bounce, primary=False), carry, None, length=cfg.max_depth - 1
-        )
+        fs = FULL_SWEEP_FROM_BOUNCE
+        n_cull = cfg.max_depth - 1 if fs is None else max(0, min(fs, cfg.max_depth) - 1)
+        n_full = cfg.max_depth - 1 - n_cull
+        if n_cull:
+            carry, _ = jax.lax.scan(
+                functools.partial(bounce, primary=False), carry, None, length=n_cull
+            )
+        if n_full:
+            carry, _ = jax.lax.scan(
+                functools.partial(bounce, primary=False, full_sweep=True),
+                carry, None, length=n_full,
+            )
     acc_f = unpack_tiles(carry[4], b_cols)  # (3, N_pad), sorted ray order
     if cfg.max_depth > 1:  # undo the per-bounce sorts at group granularity
         acc_g = acc_f.reshape(3, n_pad // _SORT_G, _SORT_G)

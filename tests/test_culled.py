@@ -270,6 +270,31 @@ def test_sort_granularity_invariance(monkeypatch):
         assert (diff > 1e-2).mean() < 1e-3
 
 
+def test_full_sweep_bounce_invariance(monkeypatch):
+    """FULL_SWEEP_FROM_BOUNCE must not change the image: skipping the
+    candidate build routes live tiles through the kernels' overflow path
+    (cnt_full), which sweeps the same spheres in the same order —
+    bitwise-identical here (interpret mode; on-chip, cross-program XLA
+    fusion of the sort-key glue can flip a group at a bin boundary:
+    measured max diff 9.9e-5 over 2/10^6 values at config 4 — far under
+    the uint8 quantum)."""
+    import python_ray_tracer_tpu.ops.pallas_culled as pc
+    from python_ray_tracer_tpu.camera import ray_directions
+
+    scene = random_spheres_scene(n_spheres=128, width=64, height=36)
+    cfg_p = RenderConfig(max_depth=3, dtype=jnp.float32, use_pallas=True,
+                         pallas_interpret=True, block_rays=512)
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+    outs = {}
+    for fs in (None, 1, 2):
+        monkeypatch.setattr(pc, "FULL_SWEEP_FROM_BOUNCE", fs)
+        outs[fs] = np.asarray(
+            pc.trace_fused_culled(scene.camera.position, dirs, scene, cfg_p)
+        )
+    np.testing.assert_array_equal(outs[1], outs[None])
+    np.testing.assert_array_equal(outs[2], outs[None])
+
+
 def test_culled_image_atlas_matches_xla():
     """Image textures through the culled path (in-kernel flat texel ids +
     external XLA gather) == the XLA sampler, at an atlas size the fused
