@@ -111,6 +111,43 @@ def _sphere_fn(k, s_cheap):
     return _block_sol_disc_plain if k < s_cheap else _block_sol_disc_exact
 
 
+# Blocked-mode sphere-loop unroll width: one-sphere-per-iteration scalar
+# loops hide only one vreg of vector work behind each iteration's serial
+# SMEM loads + loop control (the culled kernels measured 4x from the same
+# structure, pallas_culled._UNROLL); grouping U spheres per fori_loop
+# iteration overlaps their scalar loads with vector work.  On-chip
+# config-5 A/B (benchmarks/config5_bench.py, 2026-08-20, full Adam step
+# 256x144 depth 3): unroll 1 / 4 / 8 = 1.141 / 0.986 / 0.958 ms at 64
+# spheres, 12.41 / 10.56 / 10.30 ms at 1024 — same float sequence per
+# sphere, so results are identical to the rolled loop.
+_BLK_UNROLL = 8
+
+
+def _fori_unrolled(lo, hi, body, carry, unroll=None):
+    """fori_loop over [lo, hi) with the body unrolled `unroll` wide.
+
+    `lo`/`hi` are static Python ints (sphere-tier bounds); the tail
+    (< unroll iterations) unrolls in Python.  `unroll` defaults to the
+    module's _BLK_UNROLL at CALL time (A/B harnesses monkeypatch it).
+    """
+    if unroll is None:
+        unroll = _BLK_UNROLL
+    n = hi - lo
+    main = n // unroll
+
+    def gbody(g, c):
+        k = lo + g * unroll
+        for u in range(unroll):
+            c = body(k + u, c)
+        return c
+
+    if main:
+        carry = jax.lax.fori_loop(0, main, gbody, carry)
+    for k in range(lo + main * unroll, hi):
+        carry = body(k, carry)
+    return carry
+
+
 def _gather_cols_blk(matT_ref, cols, idx, dtype):
     """Per-lane winner materials from the (C, S_pad) VMEM table transpose.
 
@@ -187,10 +224,10 @@ class _FwdSub:
                     return tmin, imin, dmax, idmax
 
                 carry = (tmin, imin, dmax, idmax)
-                carry = jax.lax.fori_loop(
+                carry = _fori_unrolled(
                     0, s_cheap, functools.partial(near_body, fn=_block_sol_disc_plain), carry
                 )
-                tmin, imin, dmax, idmax = jax.lax.fori_loop(
+                tmin, imin, dmax, idmax = _fori_unrolled(
                     s_cheap, s_total, functools.partial(near_body, fn=_block_sol_disc_exact), carry
                 )
             else:
@@ -275,10 +312,10 @@ class _FwdSub:
                 return clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
 
             clear = jnp.ones(shape, dtype)
-            clear = jax.lax.fori_loop(
+            clear = _fori_unrolled(
                 0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear
             )
-            clear = jax.lax.fori_loop(
+            clear = _fori_unrolled(
                 s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear
             )
         else:
@@ -712,10 +749,10 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
 
         zero = jnp.zeros_like(g_clear)
         carry = (zero, zero, zero, zero, zero, zero)
-        carry = jax.lax.fori_loop(
+        carry = _fori_unrolled(
             0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry
         )
-        out = jax.lax.fori_loop(
+        out = _fori_unrolled(
             s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry
         )
         g_pn_s = [out[0], out[1], out[2]]
