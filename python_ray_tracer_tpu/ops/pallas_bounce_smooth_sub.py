@@ -123,6 +123,14 @@ def _sphere_fn(k, s_cheap):
 _BLK_UNROLL = 8
 
 
+def _blk_unroll(s_total):
+    """Unroll width for a given table size: the 8-wide bodies' live
+    temporaries add to the kernel's scoped-VMEM stack, which the deep
+    BWD kernel overran by 676 KB at 4096 spheres (hardware probe,
+    2026-08-20) — halve the unroll past 2048."""
+    return _BLK_UNROLL if s_total <= 2048 else max(1, _BLK_UNROLL // 2)
+
+
 def _fori_unrolled(lo, hi, body, carry, unroll=None):
     """fori_loop over [lo, hi) with the body unrolled `unroll` wide.
 
@@ -224,11 +232,12 @@ class _FwdSub:
                     return tmin, imin, dmax, idmax
 
                 carry = (tmin, imin, dmax, idmax)
+                uw = _blk_unroll(s_total)
                 carry = _fori_unrolled(
-                    0, s_cheap, functools.partial(near_body, fn=_block_sol_disc_plain), carry
+                    0, s_cheap, functools.partial(near_body, fn=_block_sol_disc_plain), carry, uw
                 )
                 tmin, imin, dmax, idmax = _fori_unrolled(
-                    s_cheap, s_total, functools.partial(near_body, fn=_block_sol_disc_exact), carry
+                    s_cheap, s_total, functools.partial(near_body, fn=_block_sol_disc_exact), carry, uw
                 )
             else:
                 for k in range(s_total):
@@ -311,12 +320,13 @@ class _FwdSub:
                 occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
                 return clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
 
+            uw = _blk_unroll(s_total)
             clear = jnp.ones(shape, dtype)
             clear = _fori_unrolled(
-                0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear
+                0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear, uw
             )
             clear = _fori_unrolled(
-                s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear
+                s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear, uw
             )
         else:
             clear = jnp.ones(shape, dtype)
@@ -749,11 +759,12 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
 
         zero = jnp.zeros_like(g_clear)
         carry = (zero, zero, zero, zero, zero, zero)
+        uw = _blk_unroll(s_total)
         carry = _fori_unrolled(
-            0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry
+            0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry, uw
         )
         out = _fori_unrolled(
-            s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry
+            s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry, uw
         )
         g_pn_s = [out[0], out[1], out[2]]
         for i in range(3):
@@ -1170,6 +1181,14 @@ _bounce_sub_stoch.defvjp(_bounce_sub_stoch_vjp_fwd, _bounce_sub_stoch_vjp_bwd)
 # the compile-size tradeoff is unmeasured and the scan path takes over.
 MAX_FUSE_DEPTH = 6
 
+# Table-size ceiling for the DEPTH-FUSED launches: the whole-chain bwd
+# kernel's scoped-VMEM stack grows with the (4, S)+(C, S) tables times
+# the unrolled depth, overrunning the 16 MB limit by 676 KB at 4096
+# spheres (hardware probe 2026-08-20, unroll-width-independent).  Bigger
+# tables keep the per-bounce scan formulation, which r3 verified to
+# MAX_BLK_SPHERES_SMOOTH (24 s / 55 s cold at 2048/4096).
+MAX_DEEP_SPHERES = 2048
+
 
 def _fwd_kernel_sub_deep(*refs, params, depth):
     (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked) = params
@@ -1507,11 +1526,11 @@ def trace_fused_smooth_sub(
 
         o3, d3, geom, mat, consts = (to_varying(x) for x in (o3, d3, geom, mat, consts))
 
-    if 2 <= cfg.max_depth <= MAX_FUSE_DEPTH:
+    if 2 <= cfg.max_depth <= MAX_FUSE_DEPTH and s_total <= MAX_DEEP_SPHERES:
         # Depth-fused route: one fwd launch for the whole bounce chain
         # (state in VMEM, per-depth residuals out), one bwd launch for
         # the reverse adjoint chain.  Scan route below for depth 1 /
-        # beyond the unroll cap.
+        # beyond the unroll or table-size caps.
         params_deep = params + (cfg.max_depth,)
         if stochastic:
             # EXACT seed schedule of the scan path: fold per bounce,
@@ -1618,6 +1637,15 @@ def trace_fused_smooth_sub(
 # boundary (no replay ops; Mosaic spills to VMEM); "replay" re-derives
 # them from (idx, hit, clear) like the two-launch pair (smaller live set).
 TRAIN_SAVE_MODE = "live"
+
+# Sphere-count ceiling for the single-launch train kernel: the combined
+# fwd+adjoint program's scoped-VMEM stack scales with the (4, S)+(C, S)
+# tables plus the depth-unrolled spill arena.  Hardware-probed 2026-08-20
+# (256x144 depth 3): 2048 compiles + trains (live, 87 s cold), 4096 OOMs
+# the 16 MB scoped VMEM in BOTH save modes (live needs 22.7 MB at 8192).
+# Bigger tables keep the two-launch deep pair, which is verified to
+# MAX_BLK_SPHERES_SMOOTH.
+MAX_FUSED_TRAIN_SPHERES = 2048
 
 
 def _clip_gate(x, lo, hi):

@@ -896,7 +896,7 @@ def fused_train_l2_ok(scene: Scene, cfg: RenderConfig) -> bool:
     per pixel, depth inside the in-kernel unroll cap.  Everything else
     keeps the two-launch custom-VJP route.
     """
-    from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH, MAX_FUSE_DEPTH
+    from .ops.pallas_bounce_smooth_sub import MAX_FUSE_DEPTH, MAX_FUSED_TRAIN_SPHERES
 
     atlas = scene.texture_atlas
     atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
@@ -906,7 +906,7 @@ def fused_train_l2_ok(scene: Scene, cfg: RenderConfig) -> bool:
         and 2 <= cfg.max_depth <= MAX_FUSE_DEPTH
         and cfg.samples_per_pixel == 1
         and atlas_dummy
-        and scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
+        and scene.spheres.count <= MAX_FUSED_TRAIN_SPHERES
         and not cfg.ray_chunk
     )
 
