@@ -199,6 +199,9 @@ class _FwdSub:
         (geom_ref, mat_ref, const_ref) = refs
         (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params[:6]
         self.blocked = bool(params[7]) if len(params) > 7 else False
+        # Loop-unroll width for blocked sweeps (1 in interpret mode: the
+        # 8-wide bodies only inflate the traced program on CPU CI).
+        self.unroll = params[8] if len(params) > 8 else None
         self.tex_hw = tex_hw  # (padded TH, TW) of the atlas, or None
         dtype = o[0].dtype
         shape = o[0].shape
@@ -232,7 +235,7 @@ class _FwdSub:
                     return tmin, imin, dmax, idmax
 
                 carry = (tmin, imin, dmax, idmax)
-                uw = _blk_unroll(s_total)
+                uw = self.unroll or _blk_unroll(s_total)
                 carry = _fori_unrolled(
                     0, s_cheap, functools.partial(near_body, fn=_block_sol_disc_plain), carry, uw
                 )
@@ -320,7 +323,7 @@ class _FwdSub:
                 occl = _sig(sharp_s * disc) * _sig(sharp_s * sol)
                 return clear * jnp.where(self.idx == k, jnp.ones_like(occl), 1.0 - occl)
 
-            uw = _blk_unroll(s_total)
+            uw = self.unroll or _blk_unroll(s_total)
             clear = jnp.ones(shape, dtype)
             clear = _fori_unrolled(
                 0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear, uw
@@ -529,7 +532,7 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
     calls this ``depth`` times in reverse, keeping the lane cotangent
     chain in registers instead of HBM).
     """
-    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked, *_rest) = params
     (g_o_out, g_dout, g_thr_o, g_alive_o, g_acc, g_dww_raw) = cots
     dtype = f.dtype
     m = f.m
@@ -759,7 +762,7 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
 
         zero = jnp.zeros_like(g_clear)
         carry = (zero, zero, zero, zero, zero, zero)
-        uw = _blk_unroll(s_total)
+        uw = (_rest[0] if _rest else None) or _blk_unroll(s_total)
         carry = _fori_unrolled(
             0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry, uw
         )
@@ -908,7 +911,7 @@ def _bwd_kernel_sub(
     *refs,
     params,
 ):
-    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked, *_rest) = params
     (
         o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
         geom_ref, mat_ref, const_ref,
@@ -1005,7 +1008,8 @@ def _fwd_call_sub(params, o3, d3, thr, alive, acc, geom, mat, consts, xi3=None):
     if blocked:
         geom = geom.T
     kernel = functools.partial(
-        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
+        _fwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+                1 if interpret else _blk_unroll(s_total))
     )
     dtype = d3.dtype
     b_cols = block_rays // _SUBLANES
@@ -1054,7 +1058,8 @@ def _bwd_call_sub(params, o3, d3, thr, alive, idx, hit, clear, geom, mat, consts
     mat_acc = _vmem_acc_spec(mat.shape) if blocked else _smem_acc_spec(mat.shape)
     geom_in = geom.T if blocked else geom
     kernel = functools.partial(
-        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked)
+        _bwd_kernel_sub, params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+                1 if interpret else _blk_unroll(s_total))
     )
     dtype = d3.dtype
     b_cols = block_rays // _SUBLANES
@@ -1191,7 +1196,7 @@ MAX_DEEP_SPHERES = 2048
 
 
 def _fwd_kernel_sub_deep(*refs, params, depth):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked) = params
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, *_rest) = params
     (o_ref, d_ref, geom_ref, mat_ref, const_ref, *rest) = refs
     if stoch:
         xi_ref, *rest = rest  # (2*depth, 8, B)
@@ -1232,7 +1237,7 @@ def _fwd_kernel_sub_deep(*refs, params, depth):
 
 
 def _bwd_kernel_sub_deep(*refs, params, depth):
-    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked) = params
+    (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked, *_rest) = params
     (
         o_ref, d_ref, osave_ref, dsave_ref, thrsave_ref, alivesave_ref,
         idx_ref, hit_ref, clear_ref, geom_ref, mat_ref, const_ref, *rest,
@@ -1296,7 +1301,8 @@ def _fwd_call_sub_deep(params, o3, d3, geom, mat, consts, xi_all=None):
         geom = geom.T
     kernel = functools.partial(
         _fwd_kernel_sub_deep,
-        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+                1 if interpret else _blk_unroll(s_total)),
         depth=depth,
     )
     dtype = d3.dtype
@@ -1344,7 +1350,8 @@ def _bwd_call_sub_deep(params, o3, d3, osave, dsave, thrsave, alivesave, idx, hi
     geom_in = geom.T if blocked else geom
     kernel = functools.partial(
         _bwd_kernel_sub_deep,
-        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+                1 if interpret else _blk_unroll(s_total)),
         depth=depth,
     )
     dtype = d3.dtype
@@ -1659,7 +1666,7 @@ def _clip_gate(x, lo, hi):
 
 
 def _train_kernel_sub_deep(*refs, params, depth, live):
-    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked) = params
+    (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked, *_rest) = params
     (o_ref, d_ref, tgt_ref, mask_ref, geom_ref, mat_ref, const_ref, *rest) = refs
     if stoch:
         xi_ref, *rest = rest
@@ -1743,7 +1750,8 @@ def _train_call_sub_deep(params, o3, d3, tgt3, mask, geom, mat, consts, xi_all=N
     geom_in = geom.T if blocked else geom
     kernel = functools.partial(
         _train_kernel_sub_deep,
-        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked),
+        params=(faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
+                1 if interpret else _blk_unroll(s_total)),
         depth=depth,
         live=live,
     )
