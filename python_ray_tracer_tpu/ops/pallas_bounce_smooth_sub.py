@@ -68,10 +68,14 @@ MAX_SUB_SPHERES_SMOOTH = 16
 
 # Blocked-mode ray-tile floor: the per-sphere fori_loop carries fixed
 # scalar-core overhead (loop bookkeeping + 4 dynamic SMEM reads) per
-# iteration, amortized over the tile's rays.  Measured at config 5
-# (64 spheres, 256x144, depth-3 Adam step, 2026-08-19): block 2048
-# 1.84 ms / 4096 1.29 / 8192 1.20 / 36864 1.22 — 8192 is the optimum.
-_BLK_MIN_BLOCK_RAYS = 8192
+# iteration, amortized over the tile's rays.  At unroll 1 (r3) the
+# overhead forced 8192 (2048/4096/8192/36864 = 1.84/1.29/1.20/1.22 ms);
+# the round-4 8-wide unroll cut it ~8x, and the optimum moved to 4096 —
+# which also divides 256x144 exactly (no padding waste).  Re-swept
+# 2026-08-20 (config-5 Adam step): floor 1024/2048/4096/8192 =
+# 0.970/0.942/0.908/0.958 ms at 64 spheres; 10.01/9.43/10.30 ms at 1024
+# (2048/4096/8192).
+_BLK_MIN_BLOCK_RAYS = 4096
 
 # Blocked sublane mode (``blocked=True`` in params): the same (8, B)
 # full-width ray tiles and per-lane adjoint, but spheres iterate via
