@@ -36,7 +36,6 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_platforms", "cpu")
 
@@ -51,7 +50,7 @@ BLOCK = 8192  # blocked-mode ray-tile floor (_BLK_MIN_BLOCK_RAYS)
 W, H = 256, 144
 
 
-def tile_frac(o3, d3, center, radius_eff, b_cols, light=None):
+def tile_frac(o3, d3, center, radius_eff, b_cols):
     o_lo, o_hi = _tile_bounds(o3, b_cols)
     d_lo, d_hi = _tile_bounds(d3, b_cols)
     mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius_eff)
@@ -71,7 +70,7 @@ def main() -> None:
         radius = jnp.asarray(scene.spheres.radius, dtype)
         r_eff = jnp.sqrt(radius * radius + margin / 4.0)
         cam = jnp.asarray(scene.camera.position, dtype)
-        light = jnp.asarray(scene.lights.point_position, dtype)
+        light = jnp.asarray(scene.lights.point_position, dtype)  # shadow-ray targets
 
         d_t = ray_directions_t(scene.camera, dtype)  # (3, N)
         n = d_t.shape[1]

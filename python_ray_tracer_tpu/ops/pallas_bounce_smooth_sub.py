@@ -1684,7 +1684,6 @@ def _train_kernel_sub_deep(*refs, params, depth, live):
     alive = jnp.ones(shape, dtype)
     acc = [jnp.zeros(shape, dtype) for _ in range(3)]
     saved = []
-    o_in, d_in = o, d
     for dep in range(depth):
         xi = (xi_ref[2 * dep], xi_ref[2 * dep + 1]) if stoch else None
         f = _FwdSub(o, d, thr, alive, (geom_ref, mat_ref, const_ref), params, xi=xi)
