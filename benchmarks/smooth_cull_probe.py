@@ -46,7 +46,13 @@ from python_ray_tracer_tpu.ops.pallas_culled import (  # noqa: E402
 )
 from python_ray_tracer_tpu.ops.pallas_intersect import _round_up  # noqa: E402
 
-BLOCK = 8192  # blocked-mode ray-tile floor (_BLK_MIN_BLOCK_RAYS)
+# Ray-tile size the probe models.  Intentionally pinned to the PRE-flip
+# 8192-ray blocked-mode floor (the production _BLK_MIN_BLOCK_RAYS dropped to
+# 4096 in round 4): the recorded candidate fractions in docs/PERF.md were
+# measured at 8192-ray tiles.  Halving the tile roughly halves each tile's
+# spatial footprint, which can only LOWER candidate fractions — re-run with
+# BLOCK = 4096 to re-price the negative result at the production geometry.
+BLOCK = 8192
 W, H = 256, 144
 
 

@@ -1802,6 +1802,9 @@ def _train_loss_sub_deep_vjp_fwd(params, o3, d3, tgt3, mask, geom, mat, consts):
 
 def _train_loss_sub_deep_vjp_bwd(params, res, g):
     (go, gd, ggeom, gmat, gconsts), tgt3, mask = res
+    # tgt3/mask cotangents are hardwired to zero: the target is a loss
+    # CONSTANT by contract (see fused_train_l2's docstring) — the true
+    # d(sse)/d(tgt) = -2*mask*(clip(acc)-tgt) is not exported by the kernel.
     return (g * go, g * gd, jnp.zeros_like(tgt3), jnp.zeros_like(mask),
             g * ggeom, g * gmat, g * gconsts)
 
@@ -1845,6 +1848,14 @@ def fused_train_l2(
     reduction order, with gradients identical to ``jax.grad`` of the
     two-launch route (tests/test_fused_smooth.py) — but the whole
     value-and-grad is ONE kernel launch.
+
+    Gradient scope: the loss differentiates w.r.t. the SCENE (rays, sphere
+    geometry/materials, lights, camera) only.  The ``target`` (and the
+    padding mask) is treated as a constant: its cotangent is hardwired to
+    zero in the custom_vjp (the true value would be
+    ``-2*mask*(clip(acc)-tgt)/(N*3)``, which the kernel does not export).
+    ``optim.train.make_loss_fn`` honors this by closing over the target;
+    do not ``jax.grad`` this function w.r.t. ``target``.
     """
     from .pallas_bounce import _ray_state_t
 
@@ -1896,6 +1907,20 @@ def fused_train_l2(
     stochastic = key is not None and cfg.stochastic_roughness
     if not (2 <= cfg.max_depth <= MAX_FUSE_DEPTH):
         raise ValueError("fused_train_l2 requires 2 <= max_depth <= MAX_FUSE_DEPTH")
+    # Mirror the caller-side fused_train_l2_ok gates so a direct call fails
+    # loudly instead of silently dropping the texture term (params hardwire
+    # tex_hw=None) or compiling toward the probed 16 MB scoped-VMEM overrun.
+    if scene.texture_atlas.shape[1] > 1 or scene.texture_atlas.shape[2] > 1:
+        raise ValueError(
+            "fused_train_l2 does not sample image atlases; textured scenes "
+            "keep the two-launch pair (see render.fused_train_l2_ok)"
+        )
+    if scene.spheres.count > MAX_FUSED_TRAIN_SPHERES:
+        raise ValueError(
+            f"fused_train_l2 caps at {MAX_FUSED_TRAIN_SPHERES} spheres "
+            "(scoped-VMEM ceiling, hardware-probed); bigger tables keep the "
+            "two-launch pair"
+        )
     params = (
         cfg.faraway, s_cheap, s_total,
         float(cfg.edge_sharpness), float(cfg.shadow_sharpness),

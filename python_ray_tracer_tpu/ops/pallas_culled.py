@@ -1001,6 +1001,17 @@ def trace_fused_culled(
     bb_lo = jnp.min(center_cheap - radius_cheap[:, None], axis=0)
     bb_hi = jnp.max(center_cheap + radius_cheap[:, None], axis=0)
 
+    def full_sweep_lists(live):
+        """FULL_SWEEP_FROM_BOUNCE candidate lists: zero cand array / zero
+        cnt with cnt_full = s_cheap for live tiles — the kernels' proven
+        overflow (cnt_full) route, no interval tests, no argsort."""
+        cand = jnp.zeros((n_tiles, MAX_CAND), jnp.int32)
+        cnt = jnp.zeros((1, n_tiles), jnp.int32)
+        cnt_full = jnp.where(live, center_cheap.shape[0], 0)
+        if vma:
+            cand, cnt, cnt_full = (_to_varying(x) for x in (cand, cnt, cnt_full))
+        return cand, cnt, cnt_full
+
     def bounce(carry, _, primary: bool, full_sweep: bool = False):
         o3, d3, thr, alive, acc, pix = carry
         if primary:
@@ -1058,14 +1069,7 @@ def trace_fused_culled(
             lane_valid = (thr * alive) > dead_thr  # (8, M)
         live = tile_live(thr)
         if full_sweep:
-            # FULL_SWEEP_FROM_BOUNCE: live tiles take the kernels' proven
-            # overflow path (cnt_full) — no interval tests, no argsort.
-            t_tiles = m_cols // b_cols
-            cand_a = jnp.zeros((t_tiles, MAX_CAND), jnp.int32)
-            cnt_a = jnp.zeros((1, t_tiles), jnp.int32)
-            cnt_af = jnp.where(live, center_cheap.shape[0], 0)
-            if vma:
-                cand_a, cnt_a, cnt_af = (_to_varying(x) for x in (cand_a, cnt_a, cnt_af))
+            cand_a, cnt_a, cnt_af = full_sweep_lists(live)
         else:
             cand_a, cnt_a, cnt_af = candidate_lists(
                 o3, d3, center_cheap, radius_cheap, b_cols, valid=lane_valid
@@ -1094,12 +1098,7 @@ def trace_fused_culled(
         # visible energy — miss/spent lanes' junk p_n would blow the box.
         shadow_valid = hit & (thr * alive > dead_thr)
         if full_sweep:
-            t_tiles = m_cols // b_cols
-            cand_b = jnp.zeros((t_tiles, MAX_CAND), jnp.int32)
-            cnt_b = jnp.zeros((1, t_tiles), jnp.int32)
-            cnt_bf = jnp.where(live, center_cheap.shape[0], 0)
-            if vma:
-                cand_b, cnt_b, cnt_bf = (_to_varying(x) for x in (cand_b, cnt_b, cnt_bf))
+            cand_b, cnt_b, cnt_bf = full_sweep_lists(live)
         else:
             cand_b, cnt_b, cnt_bf = candidate_lists(
                 p_n, to_light, center_cheap, radius_cheap, b_cols,
