@@ -220,7 +220,7 @@ def cmd_bench(args) -> int:
 
 def cmd_optimize(args) -> int:
     from .optim import make_loss_fn, scene_to_params
-    from .optim.train import init_state, make_train_step
+    from .optim.train import init_state, make_train_step_k
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.image import load_png
     from .utils.metrics import MetricsLogger
@@ -259,7 +259,7 @@ def cmd_optimize(args) -> int:
         state = load_checkpoint(args.checkpoint, state)
         print(f"resumed from {args.checkpoint} at step {int(state.step)}", file=sys.stderr)  # noqa: T201
 
-    step_fn = make_train_step(make_loss_fn(scene, target, cfg, mesh=mesh), optimizer)
+    step_k = make_train_step_k(make_loss_fn(scene, target, cfg, mesh=mesh), optimizer)
     metrics = MetricsLogger(args.metrics)
     start = int(state.step)
     if start >= args.steps:
@@ -267,15 +267,34 @@ def cmd_optimize(args) -> int:
             json.dumps({"final_loss": None, "steps": start, "note": "checkpoint already past --steps"})
         )
         return 0
-    for i in range(start, args.steps):
+    # On-device multi-step driver: K Adam steps per dispatch (lax.scan),
+    # host sync only at chunk/checkpoint boundaries — the per-step driver
+    # paid ~35 ms of tunnel dispatch around a ~1.3 ms step (docs/PERF.md).
+    # Chunks clip at checkpoint boundaries so --checkpoint-every semantics
+    # are exact.
+    k = max(1, args.sync_every)
+    loss = None
+    i = start
+    while i < args.steps:
+        boundary = (
+            (i // args.checkpoint_every + 1) * args.checkpoint_every
+            if args.checkpoint
+            else args.steps
+        )
+        kk = min(k, boundary - i, args.steps - i)
         t0 = time.perf_counter()
-        state, loss = step_fn(state)
-        metrics.log("step", step=i, loss=float(loss), step_s=round(time.perf_counter() - t0, 6))
-        if args.checkpoint and (i + 1) % args.checkpoint_every == 0:
+        state, losses = step_k(state, kk)
+        losses = np.asarray(losses)  # one host transfer per chunk
+        step_s = round((time.perf_counter() - t0) / kk, 6)
+        for j in range(kk):
+            metrics.log("step", step=i + j, loss=float(losses[j]), step_s=step_s)
+        loss = float(losses[-1])
+        i += kk
+        if args.checkpoint and i % args.checkpoint_every == 0:
             save_checkpoint(args.checkpoint, state)
     if args.checkpoint:
         save_checkpoint(args.checkpoint, state)
-    print(json.dumps({"final_loss": float(loss), "steps": args.steps}))  # noqa: T201
+    print(json.dumps({"final_loss": loss, "steps": args.steps}))  # noqa: T201
     return 0
 
 
@@ -310,6 +329,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--checkpoint", type=str, help="checkpoint path (resume if exists)")
     p.add_argument("--checkpoint-every", type=int, default=25)
+    p.add_argument(
+        "--sync-every",
+        type=int,
+        default=25,
+        help="Adam steps per device dispatch (on-device lax.scan); the host "
+        "syncs for metrics/checkpoints only at chunk boundaries — 1 restores "
+        "the step-at-a-time driver",
+    )
     p.set_defaults(fn=cmd_optimize)
 
     args = parser.parse_args(argv)

@@ -188,6 +188,39 @@ def textured_spheres_scene(
     )
 
 
+def texture_task_scene(
+    texture: Any,
+    width: int = 256,
+    height: int = 144,
+    dtype: Any = jnp.float32,
+) -> Scene:
+    """Single image-textured sphere filling the frame — the inverse-TEXTURE
+    rendering task (recover the atlas texels from observations).
+
+    The sphere faces the camera with ``diffuse_gain=1`` and no specular
+    terms, and the point light sits behind the camera, so most of the
+    visible hemisphere is lit and nearly every front-facing texel of the
+    equirectangular map (``shape.py:57-90``) receives loss signal.
+    """
+    from ..scene import TEXTURE_IMAGE
+
+    atlas = np.asarray(texture, np.float32)[None]  # (1, Ht, Wt, 3)
+    rows = [
+        make_sphere_row(
+            (0.0, 0.0, 2.2),
+            1.4,
+            diffuse_gain=1.0,
+            texture_kind=TEXTURE_IMAGE,
+            texture_id=0,
+        )
+    ]
+    spheres = build_spheres(rows, dtype=dtype)
+    lights = build_lights((0.5, 1.0, -6.0), domes=[(0.05, (1.0, 1.0, 1.0))], dtype=dtype)
+    return make_scene(
+        spheres, lights, (0.0, 0.0, -1.0), width, height, texture_atlas=atlas, dtype=dtype
+    )
+
+
 def inverse_task_scene(
     n_spheres: int = 64,
     width: int = 256,

@@ -5,11 +5,23 @@ new capability BASELINE.json configs 3/5 mandate.  ``jax.grad`` wants a
 pytree of float leaves, so a :class:`..scene.Scene` is partitioned into
 
 * **params** — a flat dict of the differentiable leaves (sphere geometry +
-  material columns, light parameters, camera position), and
+  material columns, light parameters, camera position, optionally the
+  image-texture atlas texels), and
 * **static** — the scene template carrying everything else (texture kinds /
-  ids, atlas, image dims).
+  ids, image dims).
 
 ``combine`` re-assembles a scene; gradients flow through every param leaf.
+
+Texture recovery (``atlas=True``): the equirectangular atlas
+(``Scene.texture_atlas``, the feature spec'd by ``NumpyTexturedSphere``,
+``/root/reference/ray_tracer/infrastructure/numpy/shape.py:57-90``) becomes
+the param leaf ``"textures.atlas"``.  Every sampling site reads it through
+``jnp`` gathers (``ops/shading.py:texture_color``; the smooth fused kernels
+compose the image-diffuse term outside the kernel as
+``take(texels, flat) * dww``), so ``jax.grad`` derives the scatter-add
+adjoint automatically — each texel accumulates the loss sensitivity of the
+rays that sampled it.  Off by default: most scenes have no image textures
+and the atlas can dwarf every other leaf.
 """
 
 from __future__ import annotations
@@ -48,8 +60,15 @@ def scene_to_params(
     sphere_fields: Iterable[str] = SPHERE_PARAM_FIELDS,
     light_fields: Iterable[str] = LIGHT_PARAM_FIELDS,
     camera: bool = True,
+    atlas: bool = False,
 ) -> Params:
-    """Extract the requested differentiable leaves as a flat dict."""
+    """Extract the requested differentiable leaves as a flat dict.
+
+    ``atlas=True`` adds the image-texture atlas ``(T, Ht, Wt, 3)`` as the
+    leaf ``"textures.atlas"`` — inverse TEXTURE rendering (recover texels
+    from observations).  Keep the atlas in [0, 1] with an update mask or a
+    post-step clip; the renderer itself does not clamp texel reads.
+    """
     params: Params = {}
     for f in sphere_fields:
         params[f"spheres.{f}"] = getattr(scene.spheres, f)
@@ -57,6 +76,8 @@ def scene_to_params(
         params[f"lights.{f}"] = getattr(scene.lights, f)
     if camera:
         params["camera.position"] = scene.camera.position
+    if atlas:
+        params["textures.atlas"] = scene.texture_atlas
     return params
 
 
@@ -65,6 +86,7 @@ def combine(params: Params, template: Scene) -> Scene:
     sphere_kw: dict[str, Any] = {}
     light_kw: dict[str, Any] = {}
     camera_kw: dict[str, Any] = {}
+    scene_kw: dict[str, Any] = {}
     for key, val in params.items():
         group, field = key.split(".", 1)
         if group == "spheres":
@@ -73,9 +95,13 @@ def combine(params: Params, template: Scene) -> Scene:
             light_kw[field] = val
         elif group == "camera":
             camera_kw[field] = val
+        elif group == "textures" and field == "atlas":
+            scene_kw["texture_atlas"] = val
         else:
             raise KeyError(f"unknown param group in {key!r}")
     scene = template
+    if scene_kw:
+        scene = dataclasses.replace(scene, **scene_kw)
     if sphere_kw:
         scene = dataclasses.replace(scene, spheres=dataclasses.replace(scene.spheres, **sphere_kw))
     if light_kw:

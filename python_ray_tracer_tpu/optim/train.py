@@ -19,6 +19,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh
 
@@ -107,6 +108,34 @@ def make_train_step(
     return train_step
 
 
+def make_train_step_k(
+    loss_fn: Callable[[Params], jax.Array],
+    optimizer: optax.GradientTransformation,
+):
+    """Build ``step_k(state, k) -> (state, (k,) losses)`` — K Adam steps per
+    dispatch as an on-device ``lax.scan``.
+
+    One host round trip per K steps instead of per step: through the TPU
+    tunnel a dispatch costs ~35 ms around a ~1.3 ms step (docs/PERF.md), so
+    the per-step driver pays ~27x wall overhead that this driver amortizes
+    to ~35/K ms.  The loss history comes back as one (k,) device array —
+    the only per-chunk transfer.  ``k`` is static (one compile per distinct
+    chunk size; :func:`fit` uses at most two).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=0, static_argnums=1)
+    def train_step_k(state: TrainState, k: int) -> tuple[TrainState, jax.Array]:
+        def body(s: TrainState, _) -> tuple[TrainState, jax.Array]:
+            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            updates, opt_state = optimizer.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return TrainState(params, opt_state, s.step + 1), loss
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    return train_step_k
+
+
 def init_state(params: Params, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
@@ -122,24 +151,35 @@ def fit(
     mesh: Mesh | None = None,
     update_mask: Params | None = None,
     callback: Callable[[int, float], None] | None = None,
+    sync_every: int = 25,
 ) -> tuple[Params, list[float]]:
     """Adam-optimize scene params against a target image.
 
     ``update_mask`` (optional) freezes parameter elements where 0 — see
     :func:`masked_updates`.  Returns the final params and the per-step
     loss history.
+
+    ``sync_every``: steps per device dispatch (:func:`make_train_step_k`).
+    The host syncs — and ``callback`` fires, with the per-step losses from
+    the chunk's history array — only at chunk boundaries.  1 restores the
+    step-at-a-time driver.
     """
     optimizer = optax.adam(learning_rate)
     if update_mask is not None:
         optimizer = optax.chain(optimizer, masked_updates(update_mask))
     loss_fn = make_loss_fn(template, target, cfg, mesh)
-    step_fn = make_train_step(loss_fn, optimizer)
+    step_fn = make_train_step_k(loss_fn, optimizer)
     state = init_state(params, optimizer)
     history: list[float] = []
-    for i in range(steps):
-        state, loss = step_fn(state)
-        loss_val = float(loss)
-        history.append(loss_val)
-        if callback is not None:
-            callback(i, loss_val)
+    k = max(1, min(sync_every, steps))
+    done = 0
+    while done < steps:
+        kk = min(k, steps - done)
+        state, losses = step_fn(state, kk)
+        chunk = [float(x) for x in np.asarray(losses)]  # ONE host transfer
+        for j, loss_val in enumerate(chunk):
+            if callback is not None:
+                callback(done + j, loss_val)
+        history.extend(chunk)
+        done += kk
     return state.params, history

@@ -146,17 +146,26 @@ def test_forward_parity_image_atlas(tmp_path):
 
 def test_gradient_parity_image_atlas(tmp_path):
     """Adjoint through the fused path on an atlas scene == jax.grad of the
-    XLA path (texel lookups are gradient-free in both)."""
+    XLA path — including the TEXEL gradients (``textures.atlas``): the
+    fused path's scatter-add flows through the external
+    ``take(texels, flat) * dww`` composition, the XLA path's through the
+    in-graph sampler gather; both land on the same texels except where the
+    polynomial atan2/asin UV picks a different nearest texel (seam lanes),
+    so the atlas leaf gets a fraction-based check."""
     scene = _atlas_scene(tmp_path, w=48, h=27)
     cfg_x, cfg_p = _cfgs()
     target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
-    params = scene_to_params(scene)
+    params = scene_to_params(scene, atlas=True)
     g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
     g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
     for key in g_x:
         a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
         scale = max(np.abs(a).max(), 1e-6)
-        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+        if key == "textures.atlas":
+            assert (np.abs(b - a) > 5e-3 * scale).mean() < 0.02, key
+            assert (np.abs(b) > 0).sum() > 10, "fused path: no texel gradient"
+        else:
+            np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
 def _atlas_many_scene(n_spheres=24, w=48, h=27):
