@@ -160,6 +160,24 @@ def _fori_unrolled(lo, hi, body, carry, unroll=None):
     return carry
 
 
+def _cheap_tier_loops(body, carry, s_cheap, uw, cand):
+    """Drive `body(k, carry)` over the cheap sphere tier: either the full
+    ``[0, s_cheap)`` range (``cand=None``) or this tile's candidate list
+    + per-tile full-sweep fallback count (``cand = (cand_ref, cnt_ref,
+    cnt_full_ref)`` — the culled kernels' id-indirection pattern).  The
+    exact tier is NOT driven here (callers always sweep it in full)."""
+    if cand is None:
+        return _fori_unrolled(0, s_cheap, body, carry, uw)
+    from .pallas_culled import _unrolled_loop
+
+    cand_ref, cnt_ref, cntf_ref = cand
+    it = pl.program_id(0)
+    carry = _unrolled_loop(
+        cnt_ref[0, it], lambda j, c: body(cand_ref[0, 0, j], c), carry, uw
+    )
+    return _unrolled_loop(cntf_ref[0, it], body, carry, uw)
+
+
 def _gather_cols_blk(matT_ref, cols, idx, dtype):
     """Per-lane winner materials from the (C, S_pad) VMEM table transpose.
 
@@ -199,7 +217,8 @@ class _FwdSub:
     one-hot matmuls).
     """
 
-    def __init__(self, o, d, thr, alive, refs, params, saved=None, xi=None):
+    def __init__(self, o, d, thr, alive, refs, params, saved=None, xi=None,
+                 known=None, cand_sh=None):
         (geom_ref, mat_ref, const_ref) = refs
         (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw) = params[:6]
         self.blocked = bool(params[7]) if len(params) > 7 else False
@@ -213,10 +232,22 @@ class _FwdSub:
         self.o, self.d, self.thr, self.alive = o, d, thr, alive
         self.faraway, self.sharp_e, self.sharp_s = faraway, sharp_e, sharp_s
         self.geom_ref, self.s_cheap, self.s_total = geom_ref, s_cheap, s_total
+        # Culled-smooth mode (blocked only): `known` = (idx, hit) from the
+        # forward-only culled nearest kernel (skips the in-kernel nearest
+        # sweep, like `saved` but with the shadow product still computed);
+        # `cand_sh` = (cand_ref, cnt_ref, cnt_full_ref) per-tile SHADOW
+        # candidate lists — the shadow loops (and the Phase C adjoint
+        # loop) iterate candidates instead of the whole cheap tier.
+        # Exactness: every excluded sphere's occlusion sigmoids underflow
+        # (the candidate build's margin contract), so its product factor
+        # is exactly 1 and its gradient exactly 0.
+        self.cand_sh = cand_sh
 
         saved_clear = None
         if saved is not None:
             self.idx, self.hit, saved_clear = saved
+        elif known is not None:
+            self.idx, self.hit = known
         else:
             far = jnp.asarray(faraway, dtype)
             tmin = jnp.full(shape, far)
@@ -329,12 +360,16 @@ class _FwdSub:
 
             uw = self.unroll or _blk_unroll(s_total)
             clear = jnp.ones(shape, dtype)
-            clear = _fori_unrolled(
-                0, s_cheap, functools.partial(sh_body, fn=_block_sol_disc_plain), clear, uw
+            clear = _cheap_tier_loops(
+                functools.partial(sh_body, fn=_block_sol_disc_plain), clear, s_cheap, uw, cand_sh
             )
-            clear = _fori_unrolled(
-                s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear, uw
-            )
+            if cand_sh is None:
+                clear = _fori_unrolled(
+                    s_cheap, s_total, functools.partial(sh_body, fn=_block_sol_disc_exact), clear, uw
+                )
+            else:
+                for k in range(s_cheap, s_total):  # exact tier: always swept
+                    clear = sh_body(k, clear, fn=_block_sol_disc_exact)
         else:
             clear = jnp.ones(shape, dtype)
             for k in range(s_total):
@@ -767,12 +802,18 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
         zero = jnp.zeros_like(g_clear)
         carry = (zero, zero, zero, zero, zero, zero)
         uw = (_rest[0] if _rest else None) or _blk_unroll(s_total)
-        carry = _fori_unrolled(
-            0, s_cheap, functools.partial(c_body, fn=_block_sol_disc_plain), carry, uw
+        cand_sh = getattr(f, "cand_sh", None)
+        carry = _cheap_tier_loops(
+            functools.partial(c_body, fn=_block_sol_disc_plain), carry, s_cheap, uw, cand_sh
         )
-        out = _fori_unrolled(
-            s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry, uw
-        )
+        if cand_sh is None:
+            out = _fori_unrolled(
+                s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry, uw
+            )
+        else:
+            out = carry
+            for k in range(s_cheap, s_total):  # exact tier: always swept
+                out = c_body(k, out, fn=_block_sol_disc_exact)
         g_pn_s = [out[0], out[1], out[2]]
         for i in range(3):
             g_L_acc[i] = g_L_acc[i] + out[3 + i]

@@ -158,6 +158,7 @@ def interval_hit_mask(
     d_hi: jax.Array,
     center: jax.Array,  # (S, 3)
     radius: jax.Array,  # (S,)
+    t_margin: float = 0.0,
 ) -> jax.Array:
     """(T, S) bool: could ANY ray in the tile's interval box hit sphere s?
 
@@ -165,6 +166,15 @@ def interval_hit_mask(
     below with interval arithmetic; a forward hit additionally needs the
     closest-approach parameter t* = -d.oc to admit a positive value (or
     the origin box to overlap the sphere).  Conservative by construction.
+
+    ``t_margin`` (smooth culling): admit spheres whose nearest root /
+    closest-approach parameter could be as low as ``-t_margin`` — the
+    smooth kernels' ``sigmoid(sharp * sol)`` is nonzero down to
+    ``sol = -90/sharp``.  Any such sphere's center lies within
+    ``radius + t_margin`` of some ray origin (|oc| <= |sol| + r), so the
+    behind-the-origin clause widens by exactly that.  Pass the INFLATED
+    radius (``sqrt(r^2 + m/4)``, covering ``sigmoid(sharp * disc)``)
+    through ``radius`` — proof in docs/PERF.md (smooth culling margins).
     """
     oc_l = o_lo[:, None, :] - center[None, :, :]  # (T, S, 3)
     oc_h = o_hi[:, None, :] - center[None, :, :]
@@ -183,7 +193,8 @@ def interval_hit_mask(
     s2_hi = jnp.maximum(s_lo**2, s_hi**2)
     dist2_lo = n2_lo - s2_hi
     r2 = (radius**2)[None, :]
-    return (dist2_lo <= r2) & ((s_lo < 0) | (n2_lo <= r2))
+    rt2 = ((radius + t_margin) ** 2)[None, :] if t_margin else r2
+    return (dist2_lo <= r2) & ((s_lo < 0) | (n2_lo <= rt2))
 
 
 def pack_tiles(x_t: jax.Array, b_cols: int) -> jax.Array:
@@ -324,6 +335,7 @@ def _group_cull_mask(
     b_cols: int,
     valid: jax.Array | None,
     light: jax.Array | None = None,  # (3,) — shadow rays aim at this point
+    t_margin: float = 0.0,  # smooth-mode sol margin (see interval_hit_mask)
 ) -> jax.Array:
     """(T, S) candidate mask as the UNION of per-_BOUND_G-ray-group tests.
 
@@ -411,7 +423,8 @@ def _group_cull_mask(
         vdotu += v_i * flat(axis[i])[:, None]
         d2 += v_i * v_i
     r2 = (radius**2)[None, :]
-    box = (n2_lo - jnp.maximum(s_lo**2, s_hi**2) <= r2) & ((s_lo < 0) | (n2_lo <= r2))
+    rt2 = ((radius + t_margin) ** 2)[None, :] if t_margin else r2
+    box = (n2_lo - jnp.maximum(s_lo**2, s_hi**2) <= r2) & ((s_lo < 0) | (n2_lo <= rt2))
 
     dist = jnp.sqrt(d2)
     rr = radius[None, :] + flat(pad)[:, None]
@@ -421,10 +434,12 @@ def _group_cull_mask(
     st = flat(sin_t)[:, None]
     # beta <= theta + phi, via cos(beta) >= cos(theta + phi); only valid
     # while theta + phi <= pi — the wrap case (theta > pi - phi, i.e.
-    # cos_t < -cos_phi) must pass unconditionally.
+    # cos_t < -cos_phi) must pass unconditionally.  The dist clause widens
+    # by t_margin in smooth mode (backward-nappe roots down to -t_margin:
+    # the cone only bounds the FORWARD nappe — see interval_hit_mask).
     cone = (
         (vdotu >= jnp.maximum(dist, 1e-9) * (ct * cos_phi - st * sfr - 1e-6))
-        | (dist <= rr)
+        | (dist <= rr + t_margin)
         | (ct < -cos_phi)
     )
     mask_g = box & cone & flat(live_g)[:, None]
@@ -477,6 +492,7 @@ def candidate_lists(
     b_cols: int,
     valid: jax.Array | None = None,  # (8, M) lanes included in the bounds
     light: jax.Array | None = None,  # (3,) — set for SHADOW lists only
+    t_margin: float = 0.0,  # smooth-mode sol margin (see interval_hit_mask)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-tile capped candidate ids + loop counts.
 
@@ -488,11 +504,11 @@ def candidate_lists(
     """
     s_cheap = center.shape[0]
     if b_cols % _BOUND_G == 0:
-        mask = _group_cull_mask(o3, d3, center, radius, b_cols, valid, light)
+        mask = _group_cull_mask(o3, d3, center, radius, b_cols, valid, light, t_margin)
     else:
         o_lo, o_hi = _tile_bounds(o3, b_cols, valid)
         d_lo, d_hi = _tile_bounds(d3, b_cols, valid)
-        mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius)
+        mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius, t_margin)
     # Stable sort on (not mask): candidates first, each group ascending by
     # sphere index — the sequential min keeps lowest-index tie semantics.
     order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True).astype(jnp.int32)

@@ -753,16 +753,24 @@ def trace(
 def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=False, key=None):
     """Dispatch between the fused smooth implementations.
 
-    Sphere tables up to MAX_BLK_SPHERES_SMOOTH take the sublane-packed
-    kernels (full-width VPU tiles; unrolled sphere loops for tiny tables,
-    fori_loop blocked mode past MAX_SUB_SPHERES_SMOOTH — see
-    docs/PERF.md).  Bigger tables fall back to the blocked lane kernels
-    whose sweeps amortize over (K, B) tiles.  Stochastic roughness
-    (``key``) is supported only by the sublane pair (callers gate on
-    MAX_BLK_SPHERES_SMOOTH).
+    Big scenes at big frames take the CULLED smooth path (per-tile
+    candidate lists with exact sigmoid-underflow margins —
+    :mod:`.ops.pallas_culled_smooth`).  Otherwise sphere tables up to
+    MAX_BLK_SPHERES_SMOOTH take the sublane-packed kernels (full-width
+    VPU tiles; unrolled sphere loops for tiny tables, fori_loop blocked
+    mode past MAX_SUB_SPHERES_SMOOTH — see docs/PERF.md).  Bigger tables
+    fall back to the blocked lane kernels whose sweeps amortize over
+    (K, B) tiles.  Stochastic roughness (``key``) is supported only by
+    the sublane pair (callers gate on MAX_BLK_SPHERES_SMOOTH).
     """
     from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH, trace_fused_smooth_sub
 
+    n_rays = direction.shape[1] if transposed else direction.shape[0]
+    if key is None:
+        from .ops.pallas_culled_smooth import cull_smooth_ok, trace_culled_smooth
+
+        if cull_smooth_ok(scene, cfg, n_rays):
+            return trace_culled_smooth(origin, direction, scene, cfg, vma=vma, transposed=transposed)
     if scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH:
         return trace_fused_smooth_sub(
             origin, direction, scene, cfg, vma=vma, transposed=transposed, key=key
@@ -897,9 +905,16 @@ def fused_train_l2_ok(scene: Scene, cfg: RenderConfig) -> bool:
     keeps the two-launch custom-VJP route.
     """
     from .ops.pallas_bounce_smooth_sub import MAX_FUSE_DEPTH, MAX_FUSED_TRAIN_SPHERES
+    from .ops.pallas_culled_smooth import cull_smooth_ok
 
     atlas = scene.texture_atlas
     atlas_dummy = atlas.shape[1] == 1 and atlas.shape[2] == 1
+    # Big-scene big-frame training routes through the CULLED smooth path
+    # (render() -> _trace_smooth_fused): candidate-swept sweeps beat the
+    # single-launch kernel's full-table sweeps there.
+    n_rays = scene.camera.width * scene.camera.height
+    if cfg.visibility == VISIBILITY_SMOOTH and not cfg.stochastic_roughness and cull_smooth_ok(scene, cfg, n_rays):
+        return False
     return (
         cfg.use_pallas
         and cfg.visibility == VISIBILITY_SMOOTH
