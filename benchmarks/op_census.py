@@ -161,8 +161,21 @@ def main() -> None:
     lane = SUB * B
     counts: Counter = Counter()
     elems: Counter = Counter()
+    elems_cse: Counter = Counter()
 
     def walk(jx):
+        # Single-assignment CSE: two eqns with the same primitive, params
+        # and (canonicalized) inputs compute the same value — count once.
+        # Approximates what Mosaic's CSE executes; the raw count is the
+        # unoptimized trace.
+        canon: dict = {}
+        seen: dict = {}
+
+        from jax.extend.core import Literal
+
+        def cv(v):
+            return canon.get(id(v), id(v)) if not isinstance(v, Literal) else ("lit", str(v))
+
         for eqn in jx.eqns:
             for v in eqn.params.values():  # scans/conds if any
                 if hasattr(v, "jaxpr"):
@@ -171,18 +184,29 @@ def main() -> None:
             n_out = int(np.prod(eqn.outvars[0].aval.shape)) if eqn.outvars and hasattr(eqn.outvars[0].aval, "shape") and eqn.outvars[0].aval.shape else 1
             counts[prim] += 1
             elems[classify(prim)] += n_out
+            key = (prim, tuple(cv(v) for v in eqn.invars), str(eqn.params))
+            if key in seen and prim != "jit":
+                for ov, prev in zip(eqn.outvars, seen[key]):
+                    canon[id(ov)] = prev
+            else:
+                seen[key] = tuple(cv(ov) for ov in eqn.outvars)
+                elems_cse[classify(prim)] += n_out
 
     walk(jaxpr.jaxpr)
 
     per_lane = {cls: round(v / lane, 1) for cls, v in sorted(elems.items())}
+    per_lane_cse = {cls: round(v / lane, 1) for cls, v in sorted(elems_cse.items())}
     total = round(sum(elems.values()) / lane, 1)
+    total_cse = round(sum(elems_cse.values()) / lane, 1)
     rec = {
         "bench": "op_census_train_kernel",
         "depth": depth,
         "n_spheres": s_total,
         "per_lane_ops": per_lane,
         "total_per_lane": total,
-        "note": "vector-op slots per ray lane, fwd+loss+adjoint, save=live",
+        "per_lane_ops_cse": per_lane_cse,
+        "total_per_lane_cse": total_cse,
+        "note": "vector-op slots per ray lane, fwd+loss+adjoint, save=live; _cse = after single-assignment CSE",
         "top_prims": dict(counts.most_common(12)),
     }
     print(json.dumps(rec), flush=True)  # noqa: T201

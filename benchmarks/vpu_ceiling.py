@@ -40,38 +40,47 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 MIX = dict(mad=45, cmp=11, div2=3, sqrt2=1, trans=1)  # div2/sqrt2: per 2 iters
 
 
+_STRANDS = 4  # independent dependency chains so the VPU pipelines fill
+
+
 def _kernel(x_ref, y_ref, o_ref, *, iters: int):
-    x = x_ref[:, :]
-    y = y_ref[:, :]
-    c = jnp.full_like(x, 1.0000001)
+    c = jnp.full_like(x_ref[:, :], 1.0000001)
+    xs = [x_ref[:, :] * (1.0 + 0.01 * s) for s in range(_STRANDS)]
+    ys = [y_ref[:, :] * (1.0 - 0.01 * s) for s in range(_STRANDS)]
 
     def body(i, carry):
-        x, y = carry
-        # 45 mad-class ops (dependency-chained in two strands)
-        for _ in range(15):
-            x = x * c + y
-            y = y * c - x
-            x = x + y
-        # 11 cmp/select-class
-        for _ in range(5):
-            x = jnp.maximum(x, y)
-            y = jnp.minimum(y, x)
-        m = x > y
-        x = jnp.where(m, x, y)
-        # div + sqrt every other iteration (1.5 / 0.5 per iter in census)
-        odd = i % 2
-        x = jnp.where(odd == 0, x / (jnp.abs(y) + 1.001), x)
-        y = jnp.where(odd == 0, jnp.sqrt(jnp.abs(y) + 1.0), y)
-        x = jnp.where(odd == 1, x / (jnp.abs(y) + 1.002), x)
-        # 1 transcendental (sigmoid = the kernel's dominant one)
-        y = jax.nn.sigmoid(y * 0.25) + x * 1e-6
-        # keep magnitudes bounded
-        x = jnp.clip(x, -2.0, 2.0)
-        y = jnp.clip(y, -2.0, 2.0)
-        return x, y
+        xs, ys = list(carry[0]), list(carry[1])
+        # Census mix per strand-iteration (ops split across _STRANDS
+        # independent chains; totals per loop iteration = _STRANDS x the
+        # per-strand counts, so ops_per_lane_iter below scales the same).
+        for s in range(_STRANDS):
+            x, y = xs[s], ys[s]
+            # 45 mad-class
+            for _ in range(15):
+                x = x * c + y
+                y = y * c - x
+                x = x + y
+            # 11 cmp/select-class
+            for _ in range(5):
+                x = jnp.maximum(x, y)
+                y = jnp.minimum(y, x)
+            x = jnp.where(x > y, x, y)
+            # div + sqrt every other iteration (1.5 / 0.5 per iter)
+            odd = i % 2
+            x = jnp.where(odd == 0, x / (jnp.abs(y) + 1.001), x)
+            y = jnp.where(odd == 0, jnp.sqrt(jnp.abs(y) + 1.0), y)
+            x = jnp.where(odd == 1, x / (jnp.abs(y) + 1.002), x)
+            # 1 transcendental (sigmoid, the kernel's dominant one)
+            y = jax.nn.sigmoid(y * 0.25) + x * 1e-6
+            xs[s] = jnp.clip(x, -2.0, 2.0)
+            ys[s] = jnp.clip(y, -2.0, 2.0)
+        return tuple(xs), tuple(ys)
 
-    x, y = jax.lax.fori_loop(0, iters, body, (x, y))
-    o_ref[:, :] = x + y
+    xs, ys = jax.lax.fori_loop(0, iters, body, (tuple(xs), tuple(ys)))
+    acc = xs[0] + ys[0]
+    for s in range(1, _STRANDS):
+        acc = acc + xs[s] + ys[s]
+    o_ref[:, :] = acc
 
 
 def main() -> None:
@@ -89,19 +98,20 @@ def main() -> None:
         out_specs=lane_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
     )
-    run = jax.jit(lambda x, y: call(x, y))
-    out = run(x, y)
-    out.block_until_ready()
+    # Tunnel gotcha (verify skill): block_until_ready doesn't sync through
+    # the axon tunnel — force a host fetch of one element.
+    run = jax.jit(lambda x, y: jnp.sum(call(x, y)))
+    float(np.asarray(run(x, y)))
 
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        out = run(x, y)
-        out.block_until_ready()
+        float(np.asarray(run(x, y)))
         best = min(best, time.perf_counter() - t0)
 
     lanes = x.size
-    per_iter = MIX["mad"] + MIX["cmp"] + (MIX["div2"] + MIX["sqrt2"]) / 2 + MIX["trans"] + 4  # +4 clip/where glue
+    per_strand = MIX["mad"] + MIX["cmp"] + (MIX["div2"] + MIX["sqrt2"]) / 2 + MIX["trans"] + 4  # +4 clip/where glue
+    per_iter = per_strand * _STRANDS
     total_ops = lanes * iters * per_iter
     rec = {
         "bench": "vpu_ceiling",
