@@ -126,6 +126,22 @@ def _sphere_fn(k, s_cheap):
 # sphere, so results are identical to the rolled loop.
 _BLK_UNROLL = 8
 
+# Phase C row-flush batching: candidates per batched cross-lane pass in
+# the shadow-adjoint loop (see _adjoint_bounce).  Kept a separate knob
+# from _BLK_UNROLL (flushing joins its candidates' live ranges).
+_PHASEC_FLUSH = 8
+
+# Batched Phase C rows (r5): stage-1 sublane partials per candidate, ONE
+# cross-lane tree per flush group, masked-diagonal row extraction (no
+# cross-sublane slicing — Mosaic rejects "offset mismatch on non-concat
+# dimension").  CPU-interpret parity is pinned by the suite either way
+# (tests/test_fused_smooth.py gradient parity runs both settings across
+# the suite), but the new lowering is NOT yet compiled on real hardware:
+# the tunnel went down mid-validation (2026-08-21, ~4 h outage).  Default
+# OFF = the round-4 per-candidate form, hardware-proven.  Flip after a
+# successful `verify` culled/blocked train smoke on the chip.
+_PHASEC_BATCHED = False
+
 
 def _blk_unroll(s_total):
     """Unroll width for a given table size: the 8-wide bodies' live
@@ -767,7 +783,16 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
         # fori_loop twin of the unrolled loop below: lane-side adjoints
         # ride the carry; sphere-side gradients reduce the tile to a
         # (1, 4) row accumulated into the VMEM table at dynamic index k.
-        def c_body(k, carry, fn):
+        #
+        # The row reductions are TWO-STAGE and batched per unroll group
+        # (r5, the culled-smooth attribution's named lever): each
+        # candidate's core emits only cheap SUBLANE partials ((4, B) — a
+        # 3-add tree over 8 rows); the expensive cross-LANE tree then
+        # runs ONCE per group over the stacked (4*U, B) partials instead
+        # of 4 times per candidate (~6x less Phase C reduction work at
+        # unroll 8; summation tree order changes, values to float
+        # roundoff).
+        def c_core(k, carry, fn):
             p0, p1, p2, l0, l1, l2 = carry
             c = _scalar_sphere_t(geom_ref, k)
             sol, disc, _, b, ct = fn(f.p_n, f.L, (c[0], c[1], c[2]), c[3], faraway)
@@ -788,32 +813,93 @@ def _adjoint_bounce(f, o, d, cots, geom_ref, ggeom_ref, gmat_ref, gconst_ref, pa
             l0 = l0 + 2.0 * oc[0] * g_b
             l1 = l1 + 2.0 * oc[1] * g_b
             l2 = l2 + 2.0 * oc[2] * g_b
-            row = jnp.concatenate(
-                [
-                    jnp.sum(-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct, axis=(0, 1), keepdims=True)
-                    for i in range(3)
-                ]
-                + [jnp.sum(-2.0 * c[3] * g_ct, axis=(0, 1), keepdims=True)],
-                axis=1,
-            )  # (1, 4)
-            ggeom_ref[pl.ds(k, 1), :] += row
-            return p0, p1, p2, l0, l1, l2
+            comps = [-2.0 * f.L[i] * g_b - 2.0 * oc[i] * g_ct for i in range(3)]
+            comps.append(-2.0 * c[3] * g_ct)
+            if _PHASEC_BATCHED:
+                # Stage 1 only: cheap sublane partials; the cross-lane
+                # tree runs once per flush group.
+                parts = jnp.concatenate(
+                    [jnp.sum(x, axis=0, keepdims=True) for x in comps], axis=0
+                )  # (4, B)
+            else:
+                # Hardware-proven r4 form: finished (1, 4) row per
+                # candidate (full (0,1)-reduces, concat of offset-(0,0)
+                # scalars).
+                parts = jnp.concatenate(
+                    [jnp.sum(x, axis=(0, 1), keepdims=True) for x in comps], axis=1
+                )  # (1, 4)
+            return (p0, p1, p2, l0, l1, l2), parts
+
+        def c_flush(ks, parts_list):
+            if not _PHASEC_BATCHED:
+                for k, row in zip(ks, parts_list):
+                    ggeom_ref[pl.ds(k, 1), :] += row
+                return
+            # ONE cross-lane pass for the whole group's rows.
+            scal = jnp.sum(jnp.concatenate(parts_list, axis=0), axis=1, keepdims=True)
+            # Extract each candidate's (1, 4) row WITHOUT sublane-offset
+            # slicing (Mosaic: "offset mismatch on non-concat dimension"):
+            # broadcast the (4F, 1) column along lanes, mask the diagonal
+            # of this candidate's 4-row band, sublane-reduce to offset 0.
+            nf = scal.shape[0]
+            sb = jax.lax.broadcast_in_dim(scal, (nf, 4), (0, 1))
+            sub_i = jax.lax.broadcasted_iota(jnp.int32, (nf, 4), 0)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (nf, 4), 1)
+            for u, k in enumerate(ks):
+                mask = sub_i == (4 * u + lane_i)
+                row = jnp.sum(jnp.where(mask, sb, 0.0), axis=0, keepdims=True)  # (1, 4)
+                ggeom_ref[pl.ds(k, 1), :] += row
+
+        def c_grouped(cnt, get_k, carry, fn, uw):
+            """Loop `cnt` candidates (dynamic bound) in batched groups;
+            rows flush every _PHASEC_FLUSH candidates."""
+            groups = cnt // uw
+
+            def gbody(g, c):
+                j0 = g * uw
+                ks, parts = [], []
+                for u in range(uw):
+                    k = get_k(j0 + u)
+                    c, pr = c_core(k, c, fn)
+                    ks.append(k)
+                    parts.append(pr)
+                    if len(ks) == _PHASEC_FLUSH:
+                        c_flush(ks, parts)
+                        ks, parts = [], []
+                if ks:
+                    c_flush(ks, parts)
+                return c
+
+            carry = jax.lax.fori_loop(0, groups, gbody, carry)
+
+            def tbody(j, c):
+                k = get_k(j)
+                c, pr = c_core(k, c, fn)
+                c_flush([k], [pr])
+                return c
+
+            return jax.lax.fori_loop(groups * uw, cnt, tbody, carry)
 
         zero = jnp.zeros_like(g_clear)
         carry = (zero, zero, zero, zero, zero, zero)
         uw = (_rest[0] if _rest else None) or _blk_unroll(s_total)
         cand_sh = getattr(f, "cand_sh", None)
-        carry = _cheap_tier_loops(
-            functools.partial(c_body, fn=_block_sol_disc_plain), carry, s_cheap, uw, cand_sh
-        )
         if cand_sh is None:
-            out = _fori_unrolled(
-                s_cheap, s_total, functools.partial(c_body, fn=_block_sol_disc_exact), carry, uw
+            carry = c_grouped(s_cheap, lambda j: j, carry, _block_sol_disc_plain, uw)
+            out = c_grouped(
+                s_total - s_cheap, lambda j: s_cheap + j, carry, _block_sol_disc_exact, uw
             )
         else:
+            cand_ref, cnt_ref, cntf_ref = cand_sh
+            it = pl.program_id(0)
+            carry = c_grouped(
+                cnt_ref[0, it], lambda j: cand_ref[0, 0, j], carry, _block_sol_disc_plain, uw
+            )
+            carry = c_grouped(cntf_ref[0, it], lambda j: j, carry, _block_sol_disc_plain, uw)
             out = carry
             for k in range(s_cheap, s_total):  # exact tier: always swept
-                out = c_body(k, out, fn=_block_sol_disc_exact)
+                out, pr = c_core(k, out, _block_sol_disc_exact)
+                c_flush([k], [pr])
         g_pn_s = [out[0], out[1], out[2]]
         for i in range(3):
             g_L_acc[i] = g_L_acc[i] + out[3 + i]

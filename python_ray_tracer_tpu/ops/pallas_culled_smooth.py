@@ -75,7 +75,6 @@ from .pallas_bounce_smooth_sub import (
     _adjoint_bounce,
     _bounce_sub,
     _consts_row,
-    _fwd_kernel_sub,  # noqa: F401  (kept: structural reference for kernel B)
     _FwdSub,
     _gather_cols_blk,
     _geometry_table,
@@ -124,6 +123,16 @@ MIN_CULL_SMOOTH_RAYS = 518400  # 960x540
 _SIG_UNDERFLOW = 90.0
 
 
+# Stochastic glossy roughness through the culled path is implemented and
+# interpret-parity-pinned (tests/test_culled_smooth.py::
+# test_culled_stochastic_matches_blocked, direct trace_culled_smooth
+# calls with a key) but NOT yet compiled on real hardware — the tunnel
+# went down mid-validation (2026-08-21).  Auto-routing keeps big
+# stochastic scenes on the (hardware-proven) fused train / blocked pair
+# until a verify smoke passes on the chip; flip this to route them.
+CULL_SMOOTH_STOCHASTIC = False
+
+
 def cull_smooth_ok(scene: Scene, cfg, n_rays: int) -> bool:
     """Is the culled smooth route applicable (and expected to win)?"""
     from .pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH
@@ -134,7 +143,7 @@ def cull_smooth_ok(scene: Scene, cfg, n_rays: int) -> bool:
         and scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH
         and scene.spheres.n_exact <= MAX_CULL_EXACT
         and n_rays >= MIN_CULL_SMOOTH_RAYS
-        and not cfg.stochastic_roughness
+        and (CULL_SMOOTH_STOCHASTIC or not cfg.stochastic_roughness)
     )
 
 
@@ -238,15 +247,22 @@ def _near_kernel_cs(
 
 def _fwd_kernel_cs(*refs, params):
     tex_hw = params[5]
+    stoch = params[6]
     (o_ref, d_ref, thr_ref, alive_ref, acc_ref, idx_ref, hit_ref,
-     candb_ref, cntb_ref, cntbf_ref, geom_ref, mat_ref, const_ref, *outs) = refs
-    (o_out, d_out, thr_out, alive_out, acc_out, clear_out, *tex_outs) = outs
+     candb_ref, cntb_ref, cntbf_ref, geom_ref, mat_ref, const_ref, *rest) = refs
+    if stoch:
+        xi_ref, *rest = rest
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+    (o_out, d_out, thr_out, alive_out, acc_out, clear_out, *tex_outs) = rest
     o = (o_ref[0], o_ref[1], o_ref[2])
     d = (d_ref[0], d_ref[1], d_ref[2])
     f = _FwdSub(
         o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params,
         known=(idx_ref[:, :], hit_ref[:, :] != 0),
         cand_sh=(candb_ref, cntb_ref, cntbf_ref),
+        xi=xi,
     )
     for i in range(3):
         acc_out[i] = acc_ref[i] + f.color[i] * f.w
@@ -265,9 +281,14 @@ def _bwd_kernel_cs(*refs, params):
     (faraway, s_cheap, s_total, _, _, tex_hw, stoch, blocked, *_rest) = params
     (
         o_ref, d_ref, thr_ref, alive_ref, idx_ref, hit_ref, clear_ref,
-        candb_ref, cntb_ref, cntbf_ref, geom_ref, mat_ref, const_ref,
-        go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref, *rest,
+        candb_ref, cntb_ref, cntbf_ref, geom_ref, mat_ref, const_ref, *rest,
     ) = refs
+    if stoch:
+        xi_ref, *rest = rest
+        xi = (xi_ref[0], xi_ref[1])
+    else:
+        xi = None
+    (go_ref, gd_ref, gthr_ref, galive_ref, gacc_ref, *rest) = rest
     gdww_raw = None
     if tex_hw is not None:
         gdww_raw = rest[0][:, :]
@@ -279,6 +300,7 @@ def _bwd_kernel_cs(*refs, params):
         o, d, thr_ref[:, :], alive_ref[:, :], (geom_ref, mat_ref, const_ref), params,
         saved=(idx_ref[:, :], hit_ref[:, :] != 0, clear_ref[:, :]),
         cand_sh=(candb_ref, cntb_ref, cntbf_ref),
+        xi=xi,
     )
     step = pl.program_id(0)
 
@@ -355,7 +377,7 @@ def _kparams(params):
             1 if interpret else _blk_unroll(s_total))
 
 
-def _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom, mat, consts):
+def _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom, mat, consts, xi3=None):
     (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
      block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
@@ -364,6 +386,12 @@ def _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_b
     lane_i = lane
     dtype = d3.dtype
     kernel = functools.partial(_fwd_kernel_cs, params=_kparams(params))
+    xi_spec = (
+        [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        if stoch
+        else []
+    )
+    xi_in = (xi3,) if stoch else ()
     tex_specs = (lane, lane) if tex_hw is not None else ()
     tex_shapes = (
         (_sds((_SUBLANES, m_cols), jnp.int32, vma), _sds((_SUBLANES, m_cols), dtype, vma))
@@ -374,7 +402,7 @@ def _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_b
         kernel,
         grid=(m_cols // b_cols,),
         in_specs=[vec, vec, lane, lane, vec, lane_i, lane, cand, smem, smem,
-                  smem, pl.BlockSpec(memory_space=pltpu.VMEM), smem],
+                  smem, pl.BlockSpec(memory_space=pltpu.VMEM), smem] + xi_spec,
         out_specs=(vec, vec, lane, lane, vec, lane) + tex_specs,
         out_shape=(
             _sds((3, _SUBLANES, m_cols), dtype, vma),
@@ -386,11 +414,11 @@ def _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_b
         )
         + tex_shapes,
         interpret=interpret,
-    )(o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom.T, mat, consts)
+    )(o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom.T, mat, consts, *xi_in)
 
 
 def _bwd_call_cs(params, o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt_bf,
-                 geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None):
+                 geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww=None, xi3=None):
     (faraway, s_cheap, s_total, sharp_e, sharp_s, tex_hw, stoch, blocked,
      block_rays, interpret, vma) = params
     m_cols = d3.shape[2]
@@ -400,6 +428,12 @@ def _bwd_call_cs(params, o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt
     geom_acc = _vmem_acc_spec(geom.shape)
     mat_acc = _vmem_acc_spec(mat.shape)
     kernel = functools.partial(_bwd_kernel_cs, params=_kparams(params))
+    xi_spec = (
+        [pl.BlockSpec((2, _SUBLANES, b_cols), lambda i: (0, 0, i), memory_space=pltpu.VMEM)]
+        if stoch
+        else []
+    )
+    xi_in = (xi3,) if stoch else ()
     tex_in = (g_dww,) if tex_hw is not None else ()
     return pl.pallas_call(
         kernel,
@@ -408,6 +442,9 @@ def _bwd_call_cs(params, o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt
             vec, vec, lane, lane, lane, lane, lane,  # saved state + idx/hit/clear
             cand, smem, smem,  # shadow candidates
             smem, pl.BlockSpec(memory_space=pltpu.VMEM), smem,  # tables
+        ]
+        + xi_spec
+        + [
             vec, vec, lane, lane, vec,  # cotangents
         ]
         + ([lane] if tex_hw is not None else []),
@@ -423,7 +460,7 @@ def _bwd_call_cs(params, o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt
         ),
         interpret=interpret,
     )(o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt_bf,
-      geom.T, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
+      geom.T, mat, consts, *xi_in, g_o, g_d, g_thr, g_alive, g_acc, *tex_in)
 
 
 def _int_zero(x):
@@ -467,6 +504,43 @@ def _bounce_cs_vjp_bwd(params, res, cots):
 
 
 _bounce_cs.defvjp(_bounce_cs_vjp_fwd, _bounce_cs_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bounce_cs_stoch(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, xi3, geom, mat, consts):
+    """Stochastic-roughness culled bounce: xi (2, 8, M) uniforms drive the
+    GGX microfacet perturbation of the mirror continuation (constant
+    sample; its adjoint chains through the perturbation)."""
+    outs = _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom, mat, consts, xi3=xi3)
+    return outs[:5] + (outs[6:] if params[5] is not None else ())
+
+
+def _bounce_cs_stoch_vjp_fwd(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, xi3, geom, mat, consts):
+    outs = _fwd_call_cs(params, o3, d3, thr, alive, acc, idx, hit, cand_b, cnt_b, cnt_bf, geom, mat, consts, xi3=xi3)
+    clear = outs[5]
+    primal = outs[:5] + (outs[6:] if params[5] is not None else ())
+    return primal, (o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt_bf, xi3, geom, mat, consts)
+
+
+def _bounce_cs_stoch_vjp_bwd(params, res, cots):
+    (o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt_bf, xi3, geom, mat, consts) = res
+    if params[5] is not None:
+        (g_o, g_d, g_thr, g_alive, g_acc, _g_flat, g_dww) = cots
+        g_dww = jnp.asarray(g_dww, d3.dtype)
+    else:
+        (g_o, g_d, g_thr, g_alive, g_acc) = cots
+        g_dww = None
+    (go_in, gd_in, gthr_in, galive_in, ggeom, gmat, gconsts) = _bwd_call_cs(
+        params, o3, d3, thr, alive, idx, hit, clear, cand_b, cnt_b, cnt_bf,
+        geom, mat, consts, g_o, g_d, g_thr, g_alive, g_acc, g_dww, xi3=xi3,
+    )
+    return (go_in, gd_in, gthr_in, galive_in, g_acc,
+            _int_zero(idx), jnp.zeros_like(hit),
+            _int_zero(cand_b), _int_zero(cnt_b), _int_zero(cnt_bf),
+            jnp.zeros_like(xi3), ggeom, gmat, gconsts)
+
+
+_bounce_cs_stoch.defvjp(_bounce_cs_stoch_vjp_fwd, _bounce_cs_stoch_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -519,6 +593,7 @@ def trace_culled_smooth(
     cfg,  # RenderConfig
     vma: frozenset | None = None,
     transposed: bool = False,
+    key: jax.Array | None = None,  # PRNG key: stochastic glossy roughness
 ) -> jax.Array:
     """Differentiable smooth trace with per-tile candidate culling."""
     from .pallas_bounce import _ray_state_t
@@ -575,10 +650,11 @@ def trace_culled_smooth(
     r_eff_e = jnp.sqrt(radius_cheap**2 + m_e / 4.0)
     r_eff_s = jnp.sqrt(radius_cheap**2 + m_s / 4.0)
 
+    stochastic = key is not None and cfg.stochastic_roughness
     params = (
         cfg.faraway, s_cheap, s_total,
         float(cfg.edge_sharpness), float(cfg.shadow_sharpness),
-        tex_hw, False, True,
+        tex_hw, stochastic, True,
         block, cfg.pallas_interpret,
         frozenset(vma) if vma else None,
     )
@@ -614,6 +690,7 @@ def trace_culled_smooth(
     ng = n_pad // _SORT_G
     gid = jnp.arange(ng, dtype=jnp.int32)  # undo-permutation carry
     sorted_any = False
+    k_seed = key
 
     for b in range(cfg.max_depth):
         if 0 < b < SMOOTH_CULL_BOUNCES:
@@ -647,6 +724,22 @@ def trace_culled_smooth(
             o3, d3 = s3[0:3], s3[3:6]
             thr, alive = s3[6], s3[7]
             acc = s3[8:11]
+        xi3 = None
+        if stochastic:
+            # EXACT seed schedule of the scan/XLA stochastic paths: fold
+            # per bounce, uniforms over the UNPADDED ray count in FLAT
+            # ray order — then follow the rays through the accumulated
+            # group sorts (xi is a constant sample: plain gather).
+            from .rng import fold_seed, uniform2
+
+            k_seed, k_bounce = fold_seed(k_seed, 1), fold_seed(k_seed, 2)
+            xi = uniform2(k_bounce, n, dtype)
+            if n_pad != n:
+                xi = jnp.concatenate([xi, jnp.full((n_pad - n, 2), 0.5, dtype)], axis=0)
+            xi_t = xi.T  # (2, N_pad) flat ray order
+            if sorted_any:
+                xi_t = _gather_groups(xi_t, gid)
+            xi3 = pack_tiles(xi_t, b_cols)
         if b < SMOOTH_CULL_BOUNCES:
             o_sg, d_sg = sg(o3), sg(d3)
             thr_sg, alive_sg = sg(thr), sg(alive)
@@ -673,14 +766,27 @@ def trace_culled_smooth(
             )
             if vma:
                 cand_b, cnt_b, cnt_bf = (to_varying(x) for x in (cand_b, cnt_b, cnt_bf))
-            out = compose_tex(_bounce_cs(
-                params, o3, d3, thr, alive, acc, idx, hitf,
-                cand_b[:, None, :], cnt_b, cnt_bf, geom, mat, consts,
-            ))
+            if stochastic:
+                out = compose_tex(_bounce_cs_stoch(
+                    params, o3, d3, thr, alive, acc, idx, hitf,
+                    cand_b[:, None, :], cnt_b, cnt_bf, xi3, geom, mat, consts,
+                ))
+            else:
+                out = compose_tex(_bounce_cs(
+                    params, o3, d3, thr, alive, acc, idx, hitf,
+                    cand_b[:, None, :], cnt_b, cnt_bf, geom, mat, consts,
+                ))
         else:
             # Reflected tiles are direction-incoherent (no re-sort here);
             # the plain blocked bounce is the measured winner there.
-            out = compose_tex(_bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts))
+            if stochastic:
+                from .pallas_bounce_smooth_sub import _bounce_sub_stoch
+
+                out = compose_tex(
+                    _bounce_sub_stoch(params, o3, d3, thr, alive, acc, xi3, geom, mat, consts)
+                )
+            else:
+                out = compose_tex(_bounce_sub(params, o3, d3, thr, alive, acc, geom, mat, consts))
         o3, d3, thr, alive, acc = out
 
     acc_f = unpack_tiles(acc, b_cols)  # (3, N_pad), sorted ray order

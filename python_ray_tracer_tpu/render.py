@@ -766,11 +766,12 @@ def _trace_smooth_fused(origin, direction, scene, cfg, vma=None, transposed=Fals
     from .ops.pallas_bounce_smooth_sub import MAX_BLK_SPHERES_SMOOTH, trace_fused_smooth_sub
 
     n_rays = direction.shape[1] if transposed else direction.shape[0]
-    if key is None:
-        from .ops.pallas_culled_smooth import cull_smooth_ok, trace_culled_smooth
+    from .ops.pallas_culled_smooth import cull_smooth_ok, trace_culled_smooth
 
-        if cull_smooth_ok(scene, cfg, n_rays):
-            return trace_culled_smooth(origin, direction, scene, cfg, vma=vma, transposed=transposed)
+    if cull_smooth_ok(scene, cfg, n_rays):
+        return trace_culled_smooth(
+            origin, direction, scene, cfg, vma=vma, transposed=transposed, key=key
+        )
     if scene.spheres.count <= MAX_BLK_SPHERES_SMOOTH:
         return trace_fused_smooth_sub(
             origin, direction, scene, cfg, vma=vma, transposed=transposed, key=key
@@ -913,7 +914,7 @@ def fused_train_l2_ok(scene: Scene, cfg: RenderConfig) -> bool:
     # (render() -> _trace_smooth_fused): candidate-swept sweeps beat the
     # single-launch kernel's full-table sweeps there.
     n_rays = scene.camera.width * scene.camera.height
-    if cfg.visibility == VISIBILITY_SMOOTH and not cfg.stochastic_roughness and cull_smooth_ok(scene, cfg, n_rays):
+    if cfg.visibility == VISIBILITY_SMOOTH and cull_smooth_ok(scene, cfg, n_rays):
         return False
     return (
         cfg.use_pallas

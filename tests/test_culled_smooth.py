@@ -127,6 +127,41 @@ def test_culled_smooth_atlas():
     assert (np.abs(np.asarray(g_c["textures.atlas"])) > 0).sum() > 10
 
 
+def test_culled_stochastic_matches_blocked(scene128):
+    """Stochastic glossy roughness through the culled path == the unculled
+    blocked path for the same seed (the xi draw follows the rays through
+    the accumulated group sorts), forward and gradient."""
+    scene = scene128
+    base = dict(max_depth=3, dtype=jnp.float32, visibility="smooth",
+                edge_sharpness=20.0, shadow_sharpness=20.0,
+                stochastic_roughness=True, rng_seed=7)
+    cfg_p = RenderConfig(**base, use_pallas=True, pallas_interpret=True, block_rays=512)
+    cfg_x = RenderConfig(**base)
+    from python_ray_tracer_tpu.ops.rng import fold_seed, seed_root
+
+    key = fold_seed(fold_seed(seed_root(cfg_p.rng_seed), 0), 4)
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+
+    def blk(pos, d, sc, cfg):
+        return trace_fused_smooth_sub(pos, d, sc, cfg, key=key)
+
+    def cul(pos, d, sc, cfg):
+        return trace_culled_smooth(pos, d, sc, cfg, key=key)
+
+    a = np.asarray(blk(scene.camera.position, dirs, scene, cfg_p))
+    b = np.asarray(cul(scene.camera.position, dirs, scene, cfg_p))
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+    tgt = jnp.clip(trace(scene.camera.position, dirs, scene, cfg_x, key=key), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_b = jax.jit(jax.grad(_mkloss(blk, scene, cfg_p, dirs, tgt)))(params)
+    g_c = jax.jit(jax.grad(_mkloss(cul, scene, cfg_p, dirs, tgt)))(params)
+    for keyname in g_b:
+        ga, gc = np.asarray(g_b[keyname]), np.asarray(g_c[keyname])
+        scale = max(np.abs(ga).max(), 1e-9)
+        np.testing.assert_allclose(gc, ga, rtol=1e-4, atol=1e-4 * scale, err_msg=keyname)
+
+
 def test_routing_gates():
     """Routing: big scenes at big frames leave the single-launch train
     kernel for the culled path; small frames / small scenes / stochastic
@@ -139,7 +174,11 @@ def test_routing_gates():
     assert not cull_smooth_ok(small_frame, cfg, 256 * 144)
     assert not cull_smooth_ok(small_scene, cfg, 1280 * 720)
     stoch = dataclasses.replace(cfg, stochastic_roughness=True)
-    assert not cull_smooth_ok(big, stoch, 1280 * 720)
+    import python_ray_tracer_tpu.ops.pallas_culled_smooth as cs
+
+    # Stochastic: routed iff the hardware-validation flip is on (the
+    # kernels themselves are parity-pinned by the direct-call test).
+    assert cull_smooth_ok(big, stoch, 1280 * 720) == cs.CULL_SMOOTH_STOCHASTIC
     # fused_train_l2_ok yields to the culled route exactly where it applies
     assert not fused_train_l2_ok(big, cfg)
     assert fused_train_l2_ok(small_frame, cfg)

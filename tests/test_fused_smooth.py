@@ -103,6 +103,26 @@ def test_gradient_parity_blocked(n_spheres, wh):
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
 
 
+def test_gradient_parity_blocked_batched_phasec(monkeypatch):
+    """The BATCHED Phase C row-flush (stage-1 sublane partials, one
+    cross-lane tree per flush group, masked-diagonal row extraction) ==
+    jax.grad of the XLA path.  Default-off pending a hardware compile
+    smoke (see _PHASEC_BATCHED); this keeps the opt-in path green."""
+    import python_ray_tracer_tpu.ops.pallas_bounce_smooth_sub as pbs
+
+    monkeypatch.setattr(pbs, "_PHASEC_BATCHED", True)
+    scene = inverse_task_scene(n_spheres=24, width=32, height=18)
+    cfg_x, cfg_p = _cfgs()
+    target = jnp.clip(render(scene, RenderConfig(max_depth=2, dtype=jnp.float32)), 0.0, 1.0) * 0.9
+    params = scene_to_params(scene)
+    g_x = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_x)))(params)
+    g_p = jax.jit(jax.grad(make_loss_fn(scene, target, cfg_p)))(params)
+    for key in g_x:
+        a, b = np.asarray(g_x[key]), np.asarray(g_p[key])
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=2e-3 * scale, err_msg=key)
+
+
 def test_stochastic_blocked_parity():
     """Stochastic glossy roughness through the BLOCKED sublane kernels
     (64 spheres — past the unroll cap) == the XLA stochastic smooth path
