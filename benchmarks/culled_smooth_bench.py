@@ -115,6 +115,13 @@ def measure(path: str, n_spheres: int, width=1920, height=1080, depth=3, steps=2
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if any(a.startswith("--phasec=") for a in sys.argv[1:]):
+        # A/B the batched Phase C adjoint rows (r5 flag gate): --phasec=1/0.
+        from python_ray_tracer_tpu.ops import pallas_bounce_smooth_sub as _sub
+
+        _sub._PHASEC_BATCHED = bool(int(next(
+            a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--phasec="))))
+        print(json.dumps({"phasec_batched": _sub._PHASEC_BATCHED}), flush=True)  # noqa: T201
     wh = next((a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--wh=")), "1920x1080")
     width, height = (int(x) for x in wh.split("x"))
     cb = next((int(a.split("=", 1)[1]) for a in sys.argv[1:] if a.startswith("--bounces=")), None)

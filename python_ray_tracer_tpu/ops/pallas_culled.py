@@ -159,6 +159,7 @@ def interval_hit_mask(
     center: jax.Array,  # (S, 3)
     radius: jax.Array,  # (S,)
     t_margin: float = 0.0,
+    both_nappes: bool = False,
 ) -> jax.Array:
     """(T, S) bool: could ANY ray in the tile's interval box hit sphere s?
 
@@ -175,6 +176,20 @@ def interval_hit_mask(
     behind-the-origin clause widens by exactly that.  Pass the INFLATED
     radius (``sqrt(r^2 + m/4)``, covering ``sigmoid(sharp * disc)``)
     through ``radius`` — proof in docs/PERF.md (smooth culling margins).
+
+    ``both_nappes`` (smooth NEAREST lists): keep ONLY the line-distance
+    test — no forward/behind clause at all.  The smooth nearest kernel's
+    miss-lane fallback is the argmax of ``disc`` over ALL spheres, and a
+    sphere entirely BEHIND the ray (sol far below the margin, coverage
+    exactly 0) can win that race whenever its line distance is under the
+    radius; if it is culled, the kernel falls back to a different sphere
+    whose coverage need not be 0 (the r5 480x270 parity bug: self-sphere
+    fallback with cov 0.5 vs a behind sphere with cov 0).  With the test
+    reduced to line distance vs the INFLATED radius, exclusion implies
+    ``disc < -90/sharp`` for every lane, so sigmoid(disc) == 0 in f32 and
+    BOTH the excluded sphere and any candidate the fallback picks instead
+    carry exactly zero coverage — winner identity can only differ where
+    every choice contributes nothing (and kills the lane either way).
     """
     oc_l = o_lo[:, None, :] - center[None, :, :]  # (T, S, 3)
     oc_h = o_hi[:, None, :] - center[None, :, :]
@@ -193,6 +208,8 @@ def interval_hit_mask(
     s2_hi = jnp.maximum(s_lo**2, s_hi**2)
     dist2_lo = n2_lo - s2_hi
     r2 = (radius**2)[None, :]
+    if both_nappes:
+        return dist2_lo <= r2
     rt2 = ((radius + t_margin) ** 2)[None, :] if t_margin else r2
     return (dist2_lo <= r2) & ((s_lo < 0) | (n2_lo <= rt2))
 
@@ -280,6 +297,10 @@ def _unrolled_loop(cnt, body_one, carry, unroll=_UNROLL):
 # jit).
 _DEAD_KEY = 1 << 24
 
+# Debug hook (tests/benchmarks only): force individual candidate tests
+# wide open to attribute a parity failure to one clause.
+_DBG_FORCE: dict = {}
+
 
 def ray_sort_keys(
     o_f: jax.Array,  # (3, N) ray origins, ray order
@@ -336,6 +357,7 @@ def _group_cull_mask(
     valid: jax.Array | None,
     light: jax.Array | None = None,  # (3,) — shadow rays aim at this point
     t_margin: float = 0.0,  # smooth-mode sol margin (see interval_hit_mask)
+    both_nappes: bool = False,  # smooth NEAREST lists (see interval_hit_mask)
 ) -> jax.Array:
     """(T, S) candidate mask as the UNION of per-_BOUND_G-ray-group tests.
 
@@ -424,7 +446,9 @@ def _group_cull_mask(
         d2 += v_i * v_i
     r2 = (radius**2)[None, :]
     rt2 = ((radius + t_margin) ** 2)[None, :] if t_margin else r2
-    box = (n2_lo - jnp.maximum(s_lo**2, s_hi**2) <= r2) & ((s_lo < 0) | (n2_lo <= rt2))
+    box = n2_lo - jnp.maximum(s_lo**2, s_hi**2) <= r2
+    if not both_nappes:
+        box = box & ((s_lo < 0) | (n2_lo <= rt2))
 
     dist = jnp.sqrt(d2)
     rr = radius[None, :] + flat(pad)[:, None]
@@ -442,6 +466,19 @@ def _group_cull_mask(
         | (dist <= rr + t_margin)
         | (ct < -cos_phi)
     )
+    if both_nappes:
+        # Mirrored nappe: the LINE family's backward half is the same cone
+        # around -axis, so the sphere also qualifies when angle(v, -axis)
+        # <= theta + phi — cos of which is -vdotu / dist.  Required for
+        # exactness of the smooth nearest argmax-disc fallback (see
+        # interval_hit_mask's both_nappes note).
+        cone = cone | (
+            -vdotu >= jnp.maximum(dist, 1e-9) * (ct * cos_phi - st * sfr - 1e-6)
+        )
+    if _DBG_FORCE.get("box"):
+        box = jnp.ones_like(box)
+    if _DBG_FORCE.get("cone"):
+        cone = jnp.ones_like(cone)
     mask_g = box & cone & flat(live_g)[:, None]
 
     if light is not None:
@@ -493,6 +530,7 @@ def candidate_lists(
     valid: jax.Array | None = None,  # (8, M) lanes included in the bounds
     light: jax.Array | None = None,  # (3,) — set for SHADOW lists only
     t_margin: float = 0.0,  # smooth-mode sol margin (see interval_hit_mask)
+    both_nappes: bool = False,  # smooth NEAREST lists (see interval_hit_mask)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-tile capped candidate ids + loop counts.
 
@@ -504,11 +542,13 @@ def candidate_lists(
     """
     s_cheap = center.shape[0]
     if b_cols % _BOUND_G == 0:
-        mask = _group_cull_mask(o3, d3, center, radius, b_cols, valid, light, t_margin)
+        mask = _group_cull_mask(o3, d3, center, radius, b_cols, valid, light,
+                                t_margin, both_nappes)
     else:
         o_lo, o_hi = _tile_bounds(o3, b_cols, valid)
         d_lo, d_hi = _tile_bounds(d3, b_cols, valid)
-        mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius, t_margin)
+        mask = interval_hit_mask(o_lo, o_hi, d_lo, d_hi, center, radius,
+                                 t_margin, both_nappes)
     # Stable sort on (not mask): candidates first, each group ascending by
     # sphere index — the sequential min keeps lowest-index tie semantics.
     order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True).astype(jnp.int32)

@@ -123,14 +123,13 @@ MIN_CULL_SMOOTH_RAYS = 518400  # 960x540
 _SIG_UNDERFLOW = 90.0
 
 
-# Stochastic glossy roughness through the culled path is implemented and
-# interpret-parity-pinned (tests/test_culled_smooth.py::
-# test_culled_stochastic_matches_blocked, direct trace_culled_smooth
-# calls with a key) but NOT yet compiled on real hardware — the tunnel
-# went down mid-validation (2026-08-21).  Auto-routing keeps big
-# stochastic scenes on the (hardware-proven) fused train / blocked pair
-# until a verify smoke passes on the chip; flip this to route them.
-CULL_SMOOTH_STOCHASTIC = False
+# Stochastic glossy roughness through the culled path: interpret-parity-
+# pinned (tests/test_culled_smooth.py::test_culled_stochastic_matches_
+# blocked) AND hardware-validated (benchmarks/stoch_cull_smoke.py,
+# 2026-08-21, post both_nappes fix): forward culled == blocked BITWISE at
+# 960x540x128, gradients to 8.4e-6 relative, culled grad dispatch already
+# faster at the gate edge (39.6 vs 42.3 ms).  Routed.
+CULL_SMOOTH_STOCHASTIC = True
 
 
 def cull_smooth_ok(scene: Scene, cfg, n_rays: int) -> bool:
@@ -169,9 +168,14 @@ def _near_kernel_cs(
     # formulas, same strict-< / strict-> tie rules), iterating this
     # tile's candidates.  True hits are always candidates (the inflated
     # radius is a superset of the plain one), so (tmin, imin) match the
-    # full sweep bitwise; the max-disc fallback can differ only when the
-    # global argmax sphere was culled — in which case both choices'
-    # coverage sigmoids underflow and the lane contributes nothing.
+    # full sweep bitwise.  The max-disc fallback races over ALL spheres
+    # in the full sweep — including ones entirely BEHIND the ray — so the
+    # nearest list is built with both_nappes=True (a pure line-distance
+    # test, no forward clause): then a culled sphere has sigmoid(disc)
+    # == 0 for every lane in the tile, the candidate argmax's disc is no
+    # larger, and both choices' coverage is exactly zero — the winner can
+    # only differ where the lane contributes nothing and dies either way
+    # (see interval_hit_mask's both_nappes note; r5 parity bisect).
     def nb(k, carry, fn):
         tmin, imin, dmax, idmax = carry
         c = (geom_ref[0, k], geom_ref[1, k], geom_ref[2, k], geom_ref[3, k])
@@ -746,8 +750,14 @@ def trace_culled_smooth(
             # Lanes with exactly zero throughput/aliveness never contribute
             # — excluding them from the candidate bounds is exact.
             valid = None if b == 0 else ((thr_sg > 0) & (alive_sg > 0))
+            # both_nappes: the miss-lane fallback is argmax disc over ALL
+            # spheres, so any line-piercing sphere (either nappe, any t)
+            # can decide the winner — the list must be a pure line test
+            # (pallas_culled.interval_hit_mask, both_nappes note; fixed
+            # after the r5 480x270 hardware parity bisect).
             cand_a, cnt_a, cnt_af = candidate_lists(
-                o_sg, d_sg, center_cheap, r_eff_e, b_cols, valid=valid, t_margin=m_e
+                o_sg, d_sg, center_cheap, r_eff_e, b_cols, valid=valid,
+                t_margin=m_e, both_nappes=True,
             )
             if vma:
                 cand_a, cnt_a, cnt_af = (to_varying(x) for x in (cand_a, cnt_a, cnt_af))

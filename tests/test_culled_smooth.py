@@ -207,3 +207,61 @@ def test_render_routes_through_culled(monkeypatch):
     diff = np.abs(b - a)
     assert np.quantile(diff, 0.999) < 2e-4
     assert (diff > 1e-3).mean() < 1e-3
+
+
+def test_nearest_list_keeps_behind_piercing_sphere():
+    """The smooth NEAREST list is a pure line test (both_nappes=True): a
+    sphere entirely BEHIND the rays whose line they pierce must stay a
+    candidate, because the miss-lane argmax-disc fallback races over ALL
+    spheres (the r5 480x270 parity bug).  The forward-only test (hard
+    path / shadow behind-clauses) still culls it."""
+    from python_ray_tracer_tpu.ops.pallas_culled import candidate_lists
+
+    b_cols = 64
+    o3 = jnp.zeros((3, 8, b_cols), jnp.float32)
+    d3 = jnp.zeros((3, 8, b_cols), jnp.float32).at[2].set(1.0)  # all +z
+    center = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float32)  # behind, on the line
+    radius = jnp.asarray([0.5], jnp.float32)
+    _, cnt_f, _ = candidate_lists(o3, d3, center, radius, b_cols, t_margin=0.45)
+    _, cnt_b, _ = candidate_lists(
+        o3, d3, center, radius, b_cols, t_margin=0.45, both_nappes=True
+    )
+    assert int(cnt_f[0, 0]) == 0, "forward-only test should cull the behind sphere"
+    assert int(cnt_b[0, 0]) == 1, "both_nappes must keep the behind sphere"
+
+
+def test_fallback_parity_behind_sphere_scene():
+    """End-to-end pin of the r5 fallback bug: a behind-the-camera sphere
+    with the largest disc (line pierced, coverage exactly 0) plus a
+    front near-miss inside the disc margin (coverage > 0).  The blocked
+    sweep's miss-lane fallback picks the behind sphere and renders
+    nothing; a forward-only culled list would pick the near-miss and
+    render something.  Culled must match blocked exactly."""
+    from python_ray_tracer_tpu.scene import build_lights, build_spheres, make_scene
+
+    rows = [
+        # Behind the camera (camera z=5, rays point -z): line pierced.
+        dict(center=(0.0, 0.25, 9.0), radius=1.0),
+        # Front near-miss band: line distance in (r, sqrt(r^2 + m/4)).
+        dict(center=(0.56, 0.25, -2.0), radius=0.5),
+        dict(center=(-0.56, 0.25, -2.0), radius=0.5),
+        # A real hit so the scene isn't empty light.
+        dict(center=(0.0, 0.25, -6.0), radius=0.8),
+    ]
+    from python_ray_tracer_tpu.scene import make_sphere_row
+
+    spheres = build_spheres(
+        [make_sphere_row(diffuse_gain=1.0, specular_gain=0.4, **r) for r in rows],
+        jnp.float32,
+    )
+    lights = build_lights((4.0, 6.0, 6.0), [(0.4, (0.6, 0.7, 0.9))], jnp.float32)
+    scene = make_scene(spheres, lights, (0.0, 0.25, 5.0), 64, 36, dtype=jnp.float32)
+    cfg = RenderConfig(
+        max_depth=2, dtype=jnp.float32, visibility="smooth",
+        edge_sharpness=200.0, shadow_sharpness=200.0,
+        use_pallas=True, pallas_interpret=True, block_rays=512,
+    )
+    dirs = ray_directions(scene.camera, jnp.float32, None)
+    a = np.asarray(trace_fused_smooth_sub(scene.camera.position, dirs, scene, cfg))
+    b = np.asarray(trace_culled_smooth(scene.camera.position, dirs, scene, cfg))
+    np.testing.assert_allclose(b, a, atol=1e-6)
